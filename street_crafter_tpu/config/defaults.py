@@ -1,0 +1,197 @@
+"""Default configuration tree.
+
+Covers the full knob surface of the reference's global yacs config
+(street_gaussian/config/config.py:8-202) plus the TPU-specific additions
+(mesh axes, precision policies, fixed Gaussian pool capacities). Unlike the
+reference there is no import-time global: call ``default_config()`` and merge
+scene yaml / CLI overrides on top.
+"""
+
+from __future__ import annotations
+
+from .config import Config
+
+
+def default_config() -> Config:
+    return Config({
+        # run identity / paths
+        "workspace": ".",
+        "task": "street_crafter",
+        "exp_name": "default",
+        "mode": "train",
+        "source_path": "",
+        "model_path": "",
+        "resolution": -1,
+        "loaded_iter": -1,
+        "resume": True,
+        "seed": 0,
+
+        # TPU execution
+        "mesh": {
+            # axis name -> size; -1 means "all remaining devices"
+            "axes": {"data": -1, "frames": 1, "tensor": 1},
+            "dcn_axes": {},           # multi-slice: axis -> num_slices
+        },
+        "precision": {
+            "compute_dtype": "bfloat16",
+            "param_dtype": "float32",
+            "raster_dtype": "float32",
+        },
+
+        "eval": {
+            "skip_train": False, "skip_test": False, "skip_novel": False,
+            "eval_train": False, "eval_test": True, "eval_novel": False,
+            "visualize": False,
+        },
+
+        "train": {
+            "iterations": 30000,
+            "test_iterations": [7000, 30000],
+            "save_iterations": [7000, 30000],
+            "checkpoint_iterations": [30000],
+            "start_checkpoint": None,
+            "novel_view_prob": 0.4,
+            "reg_obj_acc_every": 5,
+            "log_interval": 10,
+        },
+
+        "optim": {
+            # learning rates (per-parameter-group, as in gaussian_model.py:287-315)
+            "position_lr_init": 0.00016,
+            "position_lr_final": 0.0000016,
+            "position_lr_delay_mult": 0.01,
+            "position_lr_max_steps": 30000,
+            "feature_lr": 0.0025,
+            "opacity_lr": 0.05,
+            "scaling_lr": 0.005,
+            "rotation_lr": 0.001,
+            "semantic_lr": 0.01,
+            "track_position_lr_init": 0.0005,
+            "track_position_lr_final": 0.0001,
+            "track_rotation_lr_init": 0.0001,
+            "track_rotation_lr_final": 0.00001,
+            "track_warmup_steps": 0,
+            "sky_cube_map_lr": 0.01,
+            "color_correction_lr": 0.001,
+            "pose_correction_lr": 0.0001,
+            # densification / pruning (gaussian_model.py:452-551)
+            "percent_dense": 0.01,
+            "densification_interval": 100,
+            "opacity_reset_interval": 3000,
+            "densify_from_iter": 500,
+            "densify_until_iter": 15000,
+            "densify_grad_threshold": 0.0002,
+            "densify_grad_abs_bkgd": False,
+            "densify_grad_abs_obj": False,
+            "min_opacity": 0.005,
+            "percent_big_ws": 0.1,
+            "prune_big_points": False,
+            "max_screen_size": 1.0,
+            # fixed-capacity pools (TPU-specific: XLA static shapes)
+            "capacity_bkgd": 2 ** 21,
+            "capacity_obj": 2 ** 15,
+            "capacity_sky": 2 ** 18,
+            # loss weights (train.py:149-233)
+            "lambda_l1": 1.0,
+            "lambda_lpips": 0.01,
+            "lambda_dssim": 0.2,
+            "lambda_sky": 0.0,
+            "lambda_sky_scale": [],
+            "lambda_semantic": 0.0,
+            "lambda_reg": 0.0,
+            "lambda_depth_lidar": 0.0,
+            "lambda_color_correction": 0.0,
+            "lambda_pose_correction": 0.0,
+            "lambda_scale_flatten": 0.0,
+            "lambda_opacity_sparse": 0.0,
+            "lambda_novel": 0.1,
+            "lambda_novel_l1": 0.1,
+            "lambda_novel_lpips": 1.0,
+            "lambda_novel_dssim": 0.1,
+        },
+
+        "model": {
+            "gaussian": {
+                "sh_degree": 3,
+                "fourier_dim": 1,
+                "fourier_scale": 1.0,
+                "flip_prob": 0.0,
+                "semantic_dim": 0,
+            },
+            "nsg": {
+                "include_bkgd": True,
+                "include_obj": True,
+                "include_sky": True,
+                "opt_track": False,
+            },
+            "sky": {"use_cube_map": False, "resolution": 1024,
+                    "white_background": True},
+            "use_color_correction": False,
+            "color_correction": {"mode": "image", "use_sky": False},
+            "use_pose_correction": False,
+            "pose_correction": {"mode": "image"},
+        },
+
+        "data": {
+            "type": "Waymo",
+            "white_background": False,
+            "split_test": -1,
+            "split_train": -1,
+            "cameras": [0],
+            "selected_frames": [-1, -1],
+            "box_scale": 1.0,
+            "extent": 20.0,
+            "sphere_scale": 1.0,
+            "use_colmap": False,
+            "delta_frames": 10,
+            "skip_dynamic": False,
+        },
+
+        "render": {
+            "antialiasing": True,
+            "scaling_modifier": 1.0,
+            "fps": 10,
+            "save_video": True,
+            "save_image": True,
+            "coord": "world",
+            "tile_size": 16,
+            "absgrad": True,
+            "scale": 0.01,
+            "use_ndc_scale": True,
+            "use_knn_scale": False,
+            "max_intersects_per_tile": 1024,
+            "novel_view": {
+                "name": "test",
+                "start_frame": -1, "end_frame": -1,
+                "shift": [2.0, 3.0],
+                "rotate": 0.0,
+                "steps": 10,
+                "train_actor_distance_thresh": 1.5,
+            },
+        },
+
+        "diffusion": {
+            "use_diffusion": False,
+            "config_path": "",
+            "ckpt_path": "",
+            "height": 576,
+            "width": 1024,
+            "sample_iterations": [7000, 12000, 17000, 22000],
+            "sds_scales": [0.7, 0.6, 0.4, 0.3],
+            "window_size": 4,
+            "sample_frames": 25,
+            "num_steps": 50,
+            "cfg_scale": 2.5,
+            "cond_aug": 0.0,
+            "fps_id": 10,
+            "motion_bucket_id": 127,
+            "masked_guidance_iter": 7000,
+            "acc_masked_guidance": False,
+            "cond_masked_guidance": True,
+            "save_diffusion_render": True,
+            "force_render_condition": False,
+        },
+
+        "profiler": {"enabled": False, "trace_dir": None,
+                     "start_iter": 10, "num_iters": 5},
+    })

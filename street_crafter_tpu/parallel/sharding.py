@@ -1,0 +1,74 @@
+"""Named sharding rules.
+
+Small explicit helpers over ``jax.sharding.NamedSharding`` — the whole
+"distributed communication backend" component (SURVEY §5): DP gradient
+all-reduce, ZeRO-2 optimizer-state sharding, and sequence sharding all reduce
+to annotating arrays with PartitionSpecs over the mesh from
+``street_crafter_tpu.parallel.mesh`` and letting XLA insert collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def named_sharding(mesh: Mesh, *spec: Any) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dimension batch sharding (data parallel)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_pytree_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device_put every array leaf with its leading dim sharded over ``axis``."""
+    sh = shard_batch(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def with_sharding_constraint(x: Any, mesh: Mesh, *spec: Any) -> Any:
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingRules:
+    """Declarative sharding layout for the VDM fine-tune step.
+
+    - params: replicated over ``data`` (DDP analog);
+    - optimizer state: sharded over ``data`` on the largest axis of each leaf
+      (ZeRO-2 analog, reference waymo_high_res_mix.yaml:250);
+    - batch: clips over ``data``, frames optionally over ``frames``.
+    """
+
+    mesh: Mesh
+    data_axis: str = "data"
+    frames_axis: str = "frames"
+    tensor_axis: str = "tensor"
+
+    def params(self) -> NamedSharding:
+        return replicated(self.mesh)
+
+    def batch(self) -> NamedSharding:
+        return shard_batch(self.mesh, self.data_axis)
+
+    def opt_state_spec(self, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
+        """Shard optimizer moments along their largest divisible dim."""
+        data = self.mesh.shape.get(self.data_axis, 1)
+        if data <= 1 or leaf.ndim == 0:
+            return replicated(self.mesh)
+        dims = list(leaf.shape)
+        best = max(range(len(dims)), key=lambda i: dims[i])
+        if dims[best] % data != 0:
+            return replicated(self.mesh)
+        spec = [None] * len(dims)
+        spec[best] = self.data_axis
+        return NamedSharding(self.mesh, P(*spec))
