@@ -49,14 +49,15 @@ def adam_update(
     new_params, new_m, new_v = {}, {}, {}
     for k, p in params.items():
         g = grads[k]
+        gate = None
         if update_mask is not None:
-            gate = update_mask.reshape((-1,) + (1,) * (g.ndim - 1))
+            gate = update_mask.reshape(
+                update_mask.shape + (1,) * (g.ndim - update_mask.ndim))
             g = jnp.where(gate, g, 0.0)
         m = ADAM_B1 * state.m[k] + (1 - ADAM_B1) * g
         v = ADAM_B2 * state.v[k] + (1 - ADAM_B2) * g * g
         step = lrs[k] * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS)
-        if update_mask is not None:
-            gate = update_mask.reshape((-1,) + (1,) * (g.ndim - 1))
+        if gate is not None:
             step = jnp.where(gate, step, 0.0)
         new_params[k] = p - step
         new_m[k] = m
@@ -73,7 +74,8 @@ def zero_moments_at(state: GaussianAdamState, slot_mask: jax.Array,
             if keys is not None and k not in keys:
                 out[k] = val
                 continue
-            gate = slot_mask.reshape((-1,) + (1,) * (val.ndim - 1))
+            gate = slot_mask.reshape(
+                slot_mask.shape + (1,) * (val.ndim - slot_mask.ndim))
             out[k] = jnp.where(gate, 0.0, val)
         return out
     return dataclasses.replace(state, m=z(state.m), v=z(state.v))

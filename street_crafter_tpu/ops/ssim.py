@@ -14,12 +14,17 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(size: int = 11, sigma: float = 1.5):
+def _gaussian_window_np(size: int = 11, sigma: float = 1.5):
     import numpy as np
     x = np.arange(size) - size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
     g = (g / g.sum()).astype(np.float32)
-    return jnp.asarray(np.outer(g, g))
+    return np.outer(g, g)
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    # cache numpy only: caching device arrays leaks tracers across jit scopes
+    return jnp.asarray(_gaussian_window_np(size, sigma))
 
 
 def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -34,8 +39,9 @@ def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
-         sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM over an [H, W, C] pair (values in [0, 1])."""
+         sigma: float = 1.5, mask: jax.Array | None = None) -> jax.Array:
+    """Mean SSIM over an [H, W, C] pair (values in [0, 1]); optional [H, W, 1]
+    mask takes the masked mean of the SSIM map (loss_utils.py:95-131)."""
     w = _gaussian_window(window_size, sigma)
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     mu1 = _filter2d(img1, w)
@@ -46,6 +52,9 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     s12 = _filter2d(img1 * img2, w) - mu12
     ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    if mask is not None:
+        m = jnp.broadcast_to(mask, ssim_map.shape)
+        return (ssim_map * m).sum() / jnp.maximum(m.sum(), 1.0)
     return jnp.mean(ssim_map)
 
 

@@ -1,0 +1,319 @@
+"""3DGS distillation trainer.
+
+Functional redesign of the reference train loop (train.py:54-332): one jitted
+``train_step`` does render -> loss -> grads -> per-group Adam -> densify-stat
+accumulation; ``densify_step`` (every densification_interval) and
+``reset_opacity_step`` run as separate jitted calls so the hot step never
+recompiles. All pool updates happen at fixed capacity.
+
+Viewspace (screen-space) gradients for densification come from
+differentiating w.r.t. an explicit zero offset added to means2d — the JAX
+analog of means2d.retain_grad() (street_gaussian_renderer.py:243-245,
+train.py:281-295 accumulation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models.gs.densify import (
+    DensifyState, accumulate_stats, densify_and_prune, init_densify_state,
+    reset_opacity,
+)
+from ..models.gs.losses import LossWeights, compute_train_loss
+from ..models.gs.optim import GaussianAdamState, adam_update, init_adam
+from ..models.gs.params import GaussianPool
+from ..models.gs.renderer import render_scene
+from ..models.gs.scene import SceneMeta, SceneParams
+from ..ops.maths import expon_lr
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GSTrainState:
+    params: SceneParams
+    adam_bkgd: GaussianAdamState | None
+    adam_actors: GaussianAdamState | None   # vmapped over actor axis
+    adam_sky: GaussianAdamState | None
+    adam_misc: GaussianAdamState | None
+    dstate_bkgd: DensifyState | None
+    dstate_actors: DensifyState | None      # stacked [A, cap]
+    dstate_sky: DensifyState | None
+    step: jax.Array
+
+
+def _misc_params(params: SceneParams) -> dict[str, jax.Array]:
+    out = {}
+    for name in ("opt_trans", "opt_theta", "sky_cubemap", "color_corr",
+                 "color_corr_sky", "pose_corr_quat", "pose_corr_trans"):
+        val = getattr(params, name)
+        if val is not None:
+            out[name] = val
+    return out
+
+
+def init_train_state(params: SceneParams) -> GSTrainState:
+    def pool_adam(pool: GaussianPool | None, stacked: bool):
+        if pool is None:
+            return None, None
+        if stacked:
+            return (jax.vmap(lambda p: init_adam(p.trainable_dict()))(pool),
+                    jax.vmap(lambda p: init_densify_state(p.xyz.shape[0]))(pool))
+        return init_adam(pool.trainable_dict()), init_densify_state(pool.capacity)
+
+    adam_b, ds_b = pool_adam(params.bkgd, False)
+    adam_a, ds_a = pool_adam(params.actors, True)
+    adam_s, ds_s = pool_adam(params.sky, False)
+    misc = _misc_params(params)
+    return GSTrainState(
+        params=params,
+        adam_bkgd=adam_b, adam_actors=adam_a, adam_sky=adam_s,
+        adam_misc=init_adam(misc) if misc else None,
+        dstate_bkgd=ds_b, dstate_actors=ds_a, dstate_sky=ds_s,
+        step=jnp.zeros((), jnp.int32))
+
+
+def pool_lrs(cfg: Config, step: jax.Array, spatial_lr_scale: float) -> dict[str, jax.Array]:
+    """Per-group LRs (training_setup, gaussian_model.py:287-315)."""
+    o = cfg.optim
+    xyz_lr = expon_lr(step, o.position_lr_init * spatial_lr_scale,
+                      o.position_lr_final * spatial_lr_scale,
+                      lr_delay_mult=o.position_lr_delay_mult,
+                      max_steps=o.position_lr_max_steps)
+    f = jnp.float32
+    return {
+        "xyz": xyz_lr,
+        "f_dc": f(o.feature_lr),
+        "f_rest": f(o.feature_lr / 20.0),
+        "opacity": f(o.opacity_lr),
+        "scaling": f(o.scaling_lr),
+        "rotation": f(o.rotation_lr),
+    }
+
+
+def misc_lrs(cfg: Config, step: jax.Array, keys) -> dict[str, jax.Array]:
+    o = cfg.optim
+    f = jnp.float32
+    table = {
+        "opt_trans": expon_lr(step, o.track_position_lr_init,
+                              o.track_position_lr_final, max_steps=o.position_lr_max_steps),
+        "opt_theta": expon_lr(step, o.track_rotation_lr_init,
+                              o.track_rotation_lr_final, max_steps=o.position_lr_max_steps),
+        "sky_cubemap": f(o.sky_cube_map_lr),
+        "color_corr": f(o.color_correction_lr),
+        "color_corr_sky": f(o.color_correction_lr),
+        "pose_corr_quat": f(o.pose_correction_lr),
+        "pose_corr_trans": f(o.pose_correction_lr),
+    }
+    return {k: table[k] for k in keys}
+
+
+class StepOutput(NamedTuple):
+    state: GSTrainState
+    scalars: dict[str, jax.Array]
+
+
+def make_train_step(
+    cfg: Config,
+    meta: SceneMeta | None,
+    spatial_lr_scale: float,
+    lpips_fn: Callable | None = None,
+    is_novel: bool = False,
+) -> Callable:
+    """Build the jitted training step. ``batch`` carries camera arrays and
+    supervision images; static render options come from cfg."""
+    weights = LossWeights(
+        lambda_l1=cfg.optim.lambda_l1, lambda_dssim=cfg.optim.lambda_dssim,
+        lambda_lpips=cfg.optim.lambda_lpips, lambda_sky=cfg.optim.lambda_sky,
+        lambda_reg=cfg.optim.lambda_reg,
+        lambda_depth_lidar=cfg.optim.lambda_depth_lidar,
+        lambda_scale_flatten=cfg.optim.lambda_scale_flatten,
+        lambda_color_correction=cfg.optim.lambda_color_correction,
+        lambda_novel=cfg.optim.lambda_novel,
+        lambda_novel_l1=cfg.optim.lambda_novel_l1,
+        lambda_novel_dssim=cfg.optim.lambda_novel_dssim,
+        lambda_novel_lpips=cfg.optim.lambda_novel_lpips)
+    tile_size = cfg.render.tile_size
+    max_per_tile = cfg.render.max_intersects_per_tile
+    sh_degree = cfg.model.gaussian.sh_degree
+    flip_prob = cfg.model.gaussian.flip_prob
+
+    def sizes(params: SceneParams):
+        nb = params.bkgd.capacity if params.bkgd is not None else 0
+        if params.actors is not None:
+            A, cap = params.actors.xyz.shape[:2]
+        else:
+            A, cap = 0, 0
+        return nb, A, cap
+
+    def train_step(state: GSTrainState, camera, batch: dict[str, Any],
+                   key: jax.Array) -> StepOutput:
+        params = state.params
+        nb, A, cap_o = sizes(params)
+        n_flat = nb + A * cap_o  # sky rendered separately; no viewspace grads
+        kf, kd = jax.random.split(key)
+        flip_mask = None
+        if flip_prob > 0 and A > 0:
+            flip_mask = jax.random.uniform(kf, (A, cap_o)) < flip_prob
+
+        def loss_fn(p: SceneParams, vz: jax.Array):
+            out = render_scene(
+                p, meta, camera,
+                frame_idx=batch["frame_idx"], frame=batch["frame"],
+                cam_id=batch["cam_id"], timestamp=batch.get("timestamp"),
+                image_idx=batch.get("image_idx", 0),
+                sh_degree=sh_degree, tile_size=tile_size,
+                max_per_tile=max_per_tile, flip_mask=flip_mask,
+                viewspace_zero=vz,
+                white_background=bool(cfg.data.white_background))
+            scaling = p.bkgd.get_scaling() if p.bkgd is not None else None
+            valid = p.bkgd.valid if p.bkgd is not None else None
+            loss, scalars = compute_train_loss(
+                out, batch, weights, is_novel=is_novel, lpips_fn=lpips_fn,
+                scene_scaling=scaling, scene_valid=valid,
+                color_corr=p.color_corr)
+            return loss, (scalars, out)
+
+        vz0 = jnp.zeros((n_flat, 2), jnp.float32)
+        # allow_int: SceneParams carries bool validity masks (their grads are
+        # float0 and unused)
+        (_, (scalars, out)), (gparams, gvz) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(params, vz0)
+
+        step = state.step
+        lrs = pool_lrs(cfg, step, spatial_lr_scale)
+        new_params = params
+        new_state = state
+
+        # -- background pool ---------------------------------------------
+        if params.bkgd is not None:
+            pd, adam2 = adam_update(
+                params.bkgd.trainable_dict(),
+                gparams.bkgd.trainable_dict(), state.adam_bkgd, lrs,
+                update_mask=params.bkgd.valid)
+            new_bkgd = params.bkgd.replace(
+                xyz=pd["xyz"], features_dc=pd["f_dc"],
+                features_rest=pd["f_rest"], scaling=pd["scaling"],
+                rotation=pd["rotation"], opacity=pd["opacity"])
+            vis = out["visibility"][:nb]
+            ds2 = accumulate_stats(state.dstate_bkgd, gvz[:nb], vis,
+                                   out["radii"][:nb])
+            new_params = dataclasses.replace(new_params, bkgd=new_bkgd)
+            new_state = dataclasses.replace(new_state, adam_bkgd=adam2,
+                                            dstate_bkgd=ds2)
+
+        # -- actor pools (vmapped) ----------------------------------------
+        if params.actors is not None:
+            def upd(pool, gpool, adam, dstate, gv, vis, rad):
+                pd, adam2 = adam_update(pool.trainable_dict(),
+                                        gpool.trainable_dict(), adam, lrs,
+                                        update_mask=pool.valid)
+                new_pool = pool.replace(
+                    xyz=pd["xyz"], features_dc=pd["f_dc"],
+                    features_rest=pd["f_rest"], scaling=pd["scaling"],
+                    rotation=pd["rotation"], opacity=pd["opacity"])
+                ds2 = accumulate_stats(dstate, gv, vis, rad)
+                return new_pool, adam2, ds2
+
+            gv_a = gvz[nb:].reshape(A, cap_o, 2)
+            vis_a = out["visibility"][nb:n_flat].reshape(A, cap_o)
+            rad_a = out["radii"][nb:n_flat].reshape(A, cap_o)
+            new_actors, adam_a2, ds_a2 = jax.vmap(upd)(
+                params.actors, gparams.actors, state.adam_actors,
+                state.dstate_actors, gv_a, vis_a, rad_a)
+            new_params = dataclasses.replace(new_params, actors=new_actors)
+            new_state = dataclasses.replace(new_state, adam_actors=adam_a2,
+                                            dstate_actors=ds_a2)
+
+        # -- sky pool (no viewspace stats needed for cubemap-free sky) -----
+        if params.sky is not None:
+            pd, adam2 = adam_update(
+                params.sky.trainable_dict(), gparams.sky.trainable_dict(),
+                state.adam_sky, lrs, update_mask=params.sky.valid)
+            new_sky = params.sky.replace(
+                xyz=pd["xyz"], features_dc=pd["f_dc"],
+                features_rest=pd["f_rest"], scaling=pd["scaling"],
+                rotation=pd["rotation"], opacity=pd["opacity"])
+            new_params = dataclasses.replace(new_params, sky=new_sky)
+            new_state = dataclasses.replace(new_state, adam_sky=adam2)
+
+        # -- misc params (cubemap / corrections / track residuals) ---------
+        misc = _misc_params(params)
+        if misc:
+            gmisc = _misc_params(gparams)
+            mlrs = misc_lrs(cfg, step, misc.keys())
+            new_misc, adam_m2 = adam_update(misc, gmisc, state.adam_misc, mlrs)
+            new_params = dataclasses.replace(new_params, **new_misc)
+            new_state = dataclasses.replace(new_state, adam_misc=adam_m2)
+
+        new_state = dataclasses.replace(
+            new_state, params=new_params, step=step + 1)
+        return StepOutput(state=new_state, scalars=scalars)
+
+    return jax.jit(train_step)
+
+
+def make_densify_step(cfg: Config) -> Callable:
+    o = cfg.optim
+
+    def densify_step(state: GSTrainState, key: jax.Array,
+                     extent: float) -> tuple[GSTrainState, dict]:
+        params = state.params
+        new = state
+        info = {}
+        kb, ka, ks = jax.random.split(key, 3)
+        if params.bkgd is not None:
+            pool, adam, ds, inf = densify_and_prune(
+                params.bkgd, state.adam_bkgd, state.dstate_bkgd, kb,
+                grad_threshold=o.densify_grad_threshold,
+                percent_dense=o.percent_dense, extent=extent,
+                min_opacity=o.min_opacity,
+                prune_big_points=bool(o.prune_big_points),
+                percent_big_ws=o.percent_big_ws,
+                max_screen_size=o.max_screen_size)
+            new = dataclasses.replace(
+                new, params=dataclasses.replace(new.params, bkgd=pool),
+                adam_bkgd=adam, dstate_bkgd=ds)
+            info["bkgd"] = inf
+        if params.actors is not None:
+            A = params.actors.xyz.shape[0]
+            keys = jax.random.split(ka, A)
+
+            def dp(pool, adam, ds, k):
+                return densify_and_prune(
+                    pool, adam, ds, k,
+                    grad_threshold=o.densify_grad_threshold,
+                    percent_dense=o.percent_dense, extent=extent,
+                    min_opacity=o.min_opacity)
+
+            pool, adam, ds, inf = jax.vmap(dp)(
+                params.actors, state.adam_actors, state.dstate_actors, keys)
+            new = dataclasses.replace(
+                new, params=dataclasses.replace(new.params, actors=pool),
+                adam_actors=adam, dstate_actors=ds)
+            info["actors"] = inf
+        return new, info
+
+    return jax.jit(densify_step, static_argnames=("extent",))
+
+
+@jax.jit
+def reset_opacity_step(state: GSTrainState) -> GSTrainState:
+    new = state
+    if state.params.bkgd is not None:
+        pool, adam = reset_opacity(state.params.bkgd, state.adam_bkgd)
+        new = dataclasses.replace(
+            new, params=dataclasses.replace(new.params, bkgd=pool),
+            adam_bkgd=adam)
+    if state.params.actors is not None:
+        pool, adam = jax.vmap(reset_opacity)(
+            state.params.actors, state.adam_actors)
+        new = dataclasses.replace(
+            new, params=dataclasses.replace(new.params, actors=pool),
+            adam_actors=adam)
+    return new
