@@ -28,8 +28,10 @@ from .layers import timestep_embedding
 
 
 class Conditioning(NamedTuple):
-    crossattn: jax.Array  # [B, S, 1024]
-    vector: jax.Array     # [B, 768]
+    """All leaves carried per frame ([B*T, ...]) so the jitted denoiser never
+    re-shapes across the sharded batch axis."""
+    crossattn: jax.Array  # [B*T, S, 1024]
+    vector: jax.Array     # [B*T, 768]
     concat: jax.Array     # [B*T, h, w, 4]
 
 
@@ -65,9 +67,11 @@ def get_conditioning(
     with crossattn/concat zeroed in uc)."""
     b = cond_frame.shape[0]
     crossattn = clip_embed_fn(cond_frame_without_noise)[:, None, :]
+    crossattn = jnp.repeat(crossattn, num_frames, axis=0)
     ones = jnp.ones((b,), jnp.float32)
     vector = make_vector_conditioning(
         ones * fps_id, ones * motion_bucket_id, ones * cond_aug, vector_outdim)
+    vector = jnp.repeat(vector, num_frames, axis=0)
     concat = vae_encode_fn(cond_frame)            # [B, h, w, 4]
     concat = jnp.repeat(concat, num_frames, axis=0)
 
@@ -85,9 +89,10 @@ def apply_ucg_dropout(key: jax.Array, cond: Conditioning,
     out = cond
     ks = jax.random.split(key, 3)
     if rates.get("crossattn", 0) > 0:
+        t = out.crossattn.shape[0] // batch
         keep = jax.random.bernoulli(
             ks[0], 1 - rates["crossattn"], (batch, 1, 1))
-        out = out._replace(crossattn=out.crossattn * keep)
+        out = out._replace(crossattn=out.crossattn * jnp.repeat(keep, t, 0))
     if rates.get("concat", 0) > 0:
         t = out.concat.shape[0] // batch
         keep = jax.random.bernoulli(ks[1], 1 - rates["concat"], (batch, 1, 1, 1))

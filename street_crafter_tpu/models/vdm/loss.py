@@ -25,7 +25,10 @@ def sample_cond_mask(key: jax.Array, batch_size: int, num_frames: int,
                      choices: Sequence[Sequence[int]] = DEFAULT_COND_CHOICES
                      ) -> jax.Array:
     """Random cond-frame mask per video, choices weighted 2^n (loss.py:73-81).
-    Returns [batch*num_frames]."""
+    Returns [batch*num_frames]. Choices must leave at least one frame
+    unconditioned (reference asserts len(choices[-1]) < num_frames)."""
+    choices = [c for c in choices if len(c) < num_frames
+               and all(f < num_frames for f in c)]
     n = len(choices)
     weights = jnp.asarray([2.0 ** i for i in range(n)])
     probs = weights / weights.sum()

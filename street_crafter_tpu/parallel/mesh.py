@@ -66,11 +66,15 @@ def make_mesh(
     names = tuple(axes.keys())
     shape = tuple(axes[n] for n in names)
     # jax.make_mesh applies device-topology-aware reordering when available.
+    # Force Auto axis types: this framework uses sharding annotations +
+    # with_sharding_constraint (Auto mode), not the Explicit sharding dialect.
+    from jax.sharding import AxisType
+    axis_types = tuple(AxisType.Auto for _ in names)
     try:
-        return jax.make_mesh(shape, names, devices=tuple(devices))
+        return jax.make_mesh(shape, names, axis_types, devices=tuple(devices))
     except (TypeError, ValueError):
         dev_array = np.asarray(devices).reshape(shape)
-        return Mesh(dev_array, names)
+        return Mesh(dev_array, names, axis_types=axis_types)
 
 
 def make_virtual_cpu_mesh(n_devices: int, axes: Mapping[str, int]) -> Mesh:
