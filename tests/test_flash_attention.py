@@ -1,0 +1,66 @@
+"""Flash-attention kernel vs XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from street_crafter_tpu.ops.attention import attention_xla
+from street_crafter_tpu.ops import flash_attention as FA
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas kernels interpreted on CPU."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    yield
+
+
+def test_flash_matches_xla(rng):
+    B, S, H, D = 2, 128, 3, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    out = FA.flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_nonsquare_and_padding(rng):
+    # seq lengths that don't divide block sizes exercise padding/masking
+    B, Sq, Skv, H, D = 1, 100, 75, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, Sq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Skv, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Skv, H, D)).astype(np.float32))
+    out = FA.flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradients_match_xla(rng):
+    B, S, H, D = 1, 64, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum((FA.flash_attention(q, k, v) - tgt) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum((attention_xla(q, k, v) - tgt) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
