@@ -48,7 +48,7 @@ def main():
     @jax.jit
     def render(flat, w2c, K, center):
         out = render_flat(flat, w2c, K, center, W, H,
-                          sh_degree=3, tile_size=16, max_per_tile=512)
+                          sh_degree=3, tile_size=16, max_per_tile=256)
         return out["rgb"]
 
     w2c = cam.w2c

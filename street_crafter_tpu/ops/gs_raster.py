@@ -10,18 +10,20 @@ Formulation chosen for TPU rather than translated from CUDA:
   (tile, depth) keys) and each pixel walks its list sequentially with early
   termination. Dynamic worklists and per-pixel loops map poorly onto a SIMD
   machine / XLA static shapes.
-- here every tile selects its ``max_per_tile`` nearest intersecting Gaussians
-  with a top-k over depth keys (fixed capacity, static shapes), then
-  composites ALL of them at once: alpha weights form a [K, pixels] matrix and
-  the sequential over-operator becomes an (exclusive) cumulative product of
-  (1 - alpha) along K — a vectorized prefix op followed by a single matmul
-  with the color matrix (MXU). Backward is XLA autodiff through the same
-  graph (wrapped in jax.checkpoint by callers to avoid storing per-tile
-  residuals).
+- here binning is *hierarchical with fixed capacities*: each coarse tile
+  (coarse_factor x coarse_factor fine tiles, 128px by default) selects its
+  ``max_per_coarse`` nearest intersecting Gaussians with a top-k over depth
+  keys; each fine tile then selects its ``max_per_tile`` nearest from the
+  parent's candidate list (top-k over a few thousand keys instead of N).
+- compositing is fully vectorized: alpha weights form a [K, pixels] matrix
+  and the sequential over-operator becomes an exclusive cumulative product of
+  (1 - alpha) along K, followed by one matmul with the color matrix (MXU).
+  Backward is XLA autodiff through the same graph (the scan body is
+  rematerialized so no per-tile residuals are stored).
 
-Capacity overflow drops the *farthest* Gaussians of a tile — exactly the ones
-a saturated transmittance would have ignored. Tests use max_per_tile >= N so
-the oracle comparison is exact.
+Capacity overflow drops the *farthest* Gaussians of a tile — exactly the
+ones a saturated transmittance would have ignored. Tests use capacities >= N
+so the oracle comparison is exact.
 """
 
 from __future__ import annotations
@@ -44,7 +46,8 @@ class RasterOutput(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_size", "max_per_tile"))
+    static_argnames=("width", "height", "tile_size", "max_per_tile",
+                     "coarse_factor", "max_per_coarse"))
 def rasterize_pixels(
     means2d: jax.Array,    # [N, 2] pixel coords
     conics: jax.Array,     # [N, 3] (a, b, c) inverse covariance
@@ -56,13 +59,18 @@ def rasterize_pixels(
     width: int,
     height: int,
     tile_size: int = 16,
-    max_per_tile: int = 1024,
+    max_per_tile: int = 512,
+    coarse_factor: int = 8,
+    max_per_coarse: int = 4096,
 ) -> RasterOutput:
     ts = tile_size
-    TW = -(-width // ts)
-    TH = -(-height // ts)
+    CF = coarse_factor
+    cts = ts * CF
+    TWc = -(-width // cts)
+    THc = -(-height // cts)
     n = means2d.shape[0]
-    kcap = min(max_per_tile, n)
+    kc = min(max_per_coarse, n)
+    kf = min(max_per_tile, kc)
     C = colors.shape[-1]
 
     u = means2d[:, 0]
@@ -73,67 +81,98 @@ def rasterize_pixels(
     y1 = v + radii
     depth_key = jnp.where(valid, depths, _INF)
 
-    # pixel center offsets within a tile, flattened [P]
+    # channel-packed per-gaussian attributes for one gather:
+    # [u, v, conic(3), opacity, depth, color(C)]
+    attrs = jnp.concatenate([
+        means2d, conics, opacities[:, None], depths[:, None], colors], -1)
+    A = attrs.shape[-1]
+
+    # pixel-center offsets within a fine tile, flattened [P]
     py, px = jnp.meshgrid(jnp.arange(ts, dtype=jnp.float32) + 0.5,
                           jnp.arange(ts, dtype=jnp.float32) + 0.5,
                           indexing="ij")
     px = px.reshape(-1)
     py = py.reshape(-1)
+    P = ts * ts
 
-    def tile_row(_, ty):
-        # tiles of this row: tx in [0, TW)
-        tx = jnp.arange(TW, dtype=jnp.float32)
-        tile_x0 = tx * ts
-        tile_y0 = jnp.float32(ty) * ts
+    def coarse_row(_, tyc):
+        txc = jnp.arange(TWc, dtype=jnp.float32)
+        cx0 = txc * cts
+        cy0 = jnp.float32(tyc) * cts
         inter = (
-            (x0[None, :] < tile_x0[:, None] + ts)
-            & (x1[None, :] > tile_x0[:, None])
-            & (y0[None, :] < tile_y0 + ts)
-            & (y1[None, :] > tile_y0)
-        )  # [TW, N]
+            (x0[None, :] < cx0[:, None] + cts) & (x1[None, :] > cx0[:, None])
+            & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0)
+        )  # [TWc, N]
         key = jnp.where(inter, depth_key[None, :], _INF)
-        neg_top, idx = jax.lax.top_k(-key, kcap)       # ascending depth
-        dsel = -neg_top                                 # [TW, K]
-        sel_ok = dsel < _INF
+        neg_top, idxc = jax.lax.top_k(-key, kc)        # ascending depth
+        cand_ok = (-neg_top) < _INF                     # [TWc, kc]
+        cand = attrs[idxc]                              # [TWc, kc, A]
+        cand_x0 = x0[idxc]
+        cand_x1 = x1[idxc]
+        cand_y0 = y0[idxc]
+        cand_y1 = y1[idxc]
+        cand_depth = jnp.where(cand_ok, -neg_top, _INF)
 
-        m2 = means2d[idx]                               # [TW, K, 2]
-        con = conics[idx]                               # [TW, K, 3]
-        col = colors[idx]                               # [TW, K, C]
-        opa = opacities[idx] * sel_ok                   # [TW, K]
+        def fine_row(__, fy):
+            # fine tiles of this row: [TWc, CF]
+            fx = jnp.arange(CF, dtype=jnp.float32)
+            tile_x0 = cx0[:, None] + fx[None, :] * ts   # [TWc, CF]
+            tile_y0 = cy0 + jnp.float32(fy) * ts
+            finter = (
+                (cand_x0[:, None, :] < tile_x0[..., None] + ts)
+                & (cand_x1[:, None, :] > tile_x0[..., None])
+                & (cand_y0[:, None, :] < tile_y0 + ts)
+                & (cand_y1[:, None, :] > tile_y0)
+            )  # [TWc, CF, kc]
+            fkey = jnp.where(finter, cand_depth[:, None, :], _INF)
+            neg_f, idxf = jax.lax.top_k(-fkey, kf)      # [TWc, CF, kf]
+            sel_ok = (-neg_f) < _INF
 
-        # pixel coords of this row of tiles: [TW, P]
-        gx = tile_x0[:, None] + px[None, :]
-        gy = tile_y0 + py[None, :]
-        gy = jnp.broadcast_to(gy, gx.shape)
+            sel = jnp.take_along_axis(
+                cand[:, None], idxf[..., None], axis=2)  # [TWc, CF, kf, A]
+            m2 = sel[..., 0:2]
+            con = sel[..., 2:5]
+            opa = sel[..., 5] * sel_ok
+            col = sel[..., 7:]
 
-        dx = gx[:, None, :] - m2[..., 0:1]              # [TW, K, P]
-        dy = gy[:, None, :] - m2[..., 1:2]
-        sigma = (0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy)
-                 + con[..., 1:2] * dx * dy)
-        alpha = opa[..., None] * jnp.exp(-jnp.maximum(sigma, 0.0))
-        alpha = jnp.minimum(alpha, ALPHA_CLAMP)
-        alpha = jnp.where((alpha >= ALPHA_MIN) & (sigma >= 0.0), alpha, 0.0)
+            gx = tile_x0[..., None] + px[None, None, :]  # [TWc, CF, P]
+            gy = tile_y0 + py
+            gy = jnp.broadcast_to(gy, gx.shape)
 
-        # exclusive prefix product of (1 - alpha) along K = transmittance
-        one_m = 1.0 - alpha
-        trans_inc = jnp.cumprod(one_m, axis=1)          # inclusive
-        # exclusive product via shift (exact, avoids divide-by-~0)
-        trans_exc = jnp.concatenate(
-            [jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=1)
-        w = alpha * trans_exc                           # [TW, K, P]
+            dx = gx[:, :, None, :] - m2[..., 0:1]        # [TWc, CF, kf, P]
+            dy = gy[:, :, None, :] - m2[..., 1:2]
+            sigma = (0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy)
+                     + con[..., 1:2] * dx * dy)
+            alpha = opa[..., None] * jnp.exp(-jnp.maximum(sigma, 0.0))
+            alpha = jnp.minimum(alpha, ALPHA_CLAMP)
+            alpha = jnp.where((alpha >= ALPHA_MIN) & (sigma >= 0.0), alpha, 0.0)
 
-        tile_color = jnp.einsum("tkp,tkc->tpc", w, col)
-        tile_alpha = 1.0 - trans_inc[:, -1, :]          # [TW, P]
+            one_m = 1.0 - alpha
+            trans_inc = jnp.cumprod(one_m, axis=2)
+            trans_exc = jnp.concatenate(
+                [jnp.ones_like(trans_inc[:, :, :1]), trans_inc[:, :, :-1]],
+                axis=2)
+            w = alpha * trans_exc                        # [TWc, CF, kf, P]
 
-        # [TW, ts, ts, C] -> [ts, TW*ts, C]
-        row_img = tile_color.reshape(TW, ts, ts, C).transpose(1, 0, 2, 3)
-        row_img = row_img.reshape(ts, TW * ts, C)
-        row_alpha = tile_alpha.reshape(TW, ts, ts).transpose(1, 0, 2)
-        row_alpha = row_alpha.reshape(ts, TW * ts)
-        return None, (row_img, row_alpha)
+            tile_color = jnp.einsum("tfkp,tfkc->tfpc", w, col)
+            tile_alpha = 1.0 - trans_inc[:, :, -1, :]    # [TWc, CF, P]
 
-    _, (rows, alphas) = jax.lax.scan(
-        jax.checkpoint(tile_row), None, jnp.arange(TH))
-    img = rows.reshape(TH * ts, TW * ts, C)[:height, :width]
-    acc = alphas.reshape(TH * ts, TW * ts)[:height, :width]
+            # [TWc, CF, ts, ts, C] -> [ts, TWc*CF*ts, C]
+            row_img = tile_color.reshape(TWc * CF, ts, ts, C)
+            row_img = row_img.transpose(1, 0, 2, 3).reshape(ts, TWc * CF * ts, C)
+            row_alpha = tile_alpha.reshape(TWc * CF, ts, ts)
+            row_alpha = row_alpha.transpose(1, 0, 2).reshape(ts, TWc * CF * ts)
+            return None, (row_img, row_alpha)
+
+        _, (rows, alphas) = jax.lax.scan(
+            jax.checkpoint(fine_row), None, jnp.arange(CF))
+        # [CF, ts, Wp, C] -> [CF*ts, Wp, C]
+        block = rows.reshape(CF * ts, TWc * CF * ts, C)
+        block_a = alphas.reshape(CF * ts, TWc * CF * ts)
+        return None, (block, block_a)
+
+    _, (blocks, blocks_a) = jax.lax.scan(
+        jax.checkpoint(coarse_row), None, jnp.arange(THc))
+    img = blocks.reshape(THc * cts, TWc * cts, C)[:height, :width]
+    acc = blocks_a.reshape(THc * cts, TWc * cts)[:height, :width]
     return RasterOutput(colors=img, alpha=acc)
