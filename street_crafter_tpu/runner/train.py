@@ -1,0 +1,230 @@
+"""3DGS distillation training driver.
+
+Host-side loop mirroring the reference entry (train.py:54-332): camera
+sampling (novel-view prob), SH-degree warmup, densify/opacity-reset
+scheduling, periodic diffusion sampling via a pluggable hook, PSNR eval at
+test_iterations, orbax checkpointing. All device work happens inside the
+jitted step functions from training.gs_trainer.
+
+CLI: python -m street_crafter_tpu.runner.train --config scene.yaml [k=v ...]
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, default_config, load_config, merge_dotlist, save_config
+from ..models.gs.renderer import render_scene
+from ..training.gs_trainer import (
+    GSTrainState, init_train_state, make_densify_step, make_train_step,
+    reset_opacity_step,
+)
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from .scene import Scene, create_scene
+
+DiffusionHook = Callable[["Scene", int, float, bool], None]
+
+
+def psnr(img: jax.Array, gt: jax.Array) -> jax.Array:
+    mse = jnp.mean((img - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def make_eval_render(cfg: Config, meta, sh_degree: int):
+    @jax.jit
+    def eval_render(params, camera, batch):
+        out = render_scene(
+            params, meta, camera,
+            frame_idx=batch["frame_idx"], frame=batch["frame"],
+            cam_id=batch["cam_id"], timestamp=batch.get("timestamp"),
+            image_idx=batch.get("image_idx", 0),
+            sh_degree=sh_degree, tile_size=cfg.render.tile_size,
+            max_per_tile=cfg.render.max_intersects_per_tile,
+            interpolate_pose=True, clamp=True,
+            white_background=bool(cfg.data.white_background))
+        return out
+    return eval_render
+
+
+class GSTrainer:
+    """Holds the jit caches + schedules of the training loop."""
+
+    def __init__(self, cfg: Config, scene: Scene,
+                 lpips_fn: Callable | None = None):
+        self.cfg = cfg
+        self.scene = scene
+        self.lpips_fn = lpips_fn
+        self.state: GSTrainState = init_train_state(scene.params)
+        self.start_iter = 1
+        self._steps: dict[tuple, Callable] = {}
+        self._densify = make_densify_step(cfg)
+        self.max_sh = cfg.model.gaussian.sh_degree
+        self.rng = random.Random(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        if cfg.resume:
+            restored, it = load_checkpoint(scene.model_path, self.state)
+            if restored is not None:
+                self.state = restored
+                self.start_iter = it + 1
+                print(f"resumed from iteration {it}")
+
+    def active_sh(self, iteration: int) -> int:
+        """oneupSHdegree every 1000 iters (train.py:119-120)."""
+        return min(iteration // 1000, self.max_sh)
+
+    def step_fn(self, is_novel: bool, sh: int) -> Callable:
+        key = (is_novel, sh)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.cfg, self.scene.meta, spatial_lr_scale=self.scene.extent,
+                lpips_fn=self.lpips_fn, is_novel=is_novel,
+                active_sh_degree=sh)
+        return self._steps[key]
+
+    def next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def pick_camera(self, novel_pool: list) -> tuple:
+        """(cam_info, is_novel): novel-view prob sampling (train.py:142-147)."""
+        infos = self.scene.info.train_cameras
+        if novel_pool and self.rng.random() < self.cfg.train.novel_view_prob:
+            return self.rng.choice(novel_pool), True
+        return self.rng.choice(infos), False
+
+    def run(self, diffusion_hook: DiffusionHook | None = None,
+            log_fn: Callable[[int, dict], None] | None = None) -> GSTrainState:
+        cfg = self.cfg
+        scene = self.scene
+        o = cfg.optim
+        sample_iters = list(cfg.diffusion.sample_iterations) \
+            if cfg.diffusion.use_diffusion else []
+        scales = list(cfg.diffusion.sds_scales)
+        novel_pool: list = []
+
+        device_cams = {c.uid: cam for c, cam in
+                       zip(scene.info.train_cameras, scene.train_cameras)}
+        for info, cam in zip(scene.info.novel_view_cameras,
+                             scene.novel_cameras):
+            device_cams[("novel", info.uid, info.image_name)] = cam
+
+        t0 = time.perf_counter()
+        ema_loss = None
+        for iteration in range(self.start_iter, cfg.train.iterations + 1):
+            # -- diffusion distillation sampling (train.py:123-138) ---------
+            if diffusion_hook is not None and iteration in sample_iters:
+                lo, hi = min(sample_iters), max(sample_iters)
+                smin, smax = min(scales), max(scales)
+                scale = (smin - smax) * (iteration - lo) / max(hi - lo, 1) \
+                    + smax
+                diffusion_hook(scene, iteration, scale,
+                               iteration >= cfg.diffusion.masked_guidance_iter)
+                novel_pool = [
+                    c for c in scene.info.novel_view_cameras
+                    if not c.metadata.get("skip_camera", False)
+                    and c._image is not None]
+
+            cam_info, is_novel = self.pick_camera(novel_pool)
+            if is_novel:
+                camera = device_cams[("novel", cam_info.uid,
+                                      cam_info.image_name)]
+            else:
+                camera = device_cams[cam_info.uid]
+            batch = scene.batch_for(cam_info)
+            if "gt_image" not in batch:
+                continue
+
+            sh = self.active_sh(iteration)
+            step = self.step_fn(is_novel, sh)
+            self.state, scalars = step(self.state, camera, batch,
+                                       self.next_key())
+
+            # -- densification schedule (train.py:281-310) -------------------
+            if (o.densify_from_iter <= iteration <= o.densify_until_iter
+                    and iteration % o.densification_interval == 0):
+                self.state, _ = self._densify(self.state, self.next_key(),
+                                              float(scene.extent))
+            if (iteration % o.opacity_reset_interval == 0
+                    and iteration <= o.densify_until_iter):
+                self.state = reset_opacity_step(self.state)
+
+            # -- logging / eval / checkpoint ---------------------------------
+            loss = float(scalars["loss"])
+            ema_loss = loss if ema_loss is None else \
+                0.6 * ema_loss + 0.4 * loss
+            if log_fn is not None and \
+                    iteration % cfg.train.log_interval == 0:
+                log_fn(iteration, {k: float(v) for k, v in scalars.items()})
+
+            if iteration in cfg.train.test_iterations:
+                report = self.evaluate(sh)
+                print(f"[it {iteration}] eval " + " ".join(
+                    f"{k}={v:.3f}" for k, v in report.items()))
+                if log_fn is not None:
+                    log_fn(iteration, report)
+
+            if iteration in cfg.train.checkpoint_iterations or \
+                    iteration == cfg.train.iterations:
+                save_checkpoint(scene.model_path, iteration, self.state)
+
+            if iteration % 100 == 0:
+                dt = time.perf_counter() - t0
+                print(f"[it {iteration}] ema_loss={ema_loss:.4f} "
+                      f"({100 / dt:.1f} it/s)", flush=True)
+                t0 = time.perf_counter()
+        return self.state
+
+    def evaluate(self, sh: int | None = None) -> dict[str, float]:
+        """PSNR/L1 on held-out test cameras (training_report,
+        train.py:371-416)."""
+        scene = self.scene
+        sh = self.max_sh if sh is None else sh
+        eval_render = make_eval_render(self.cfg, scene.meta, sh)
+        psnrs, l1s = [], []
+        for info, cam in zip(scene.info.test_cameras, scene.test_cameras):
+            batch = scene.batch_for(info)
+            if "gt_image" not in batch:
+                continue
+            out = eval_render(self.state.params, cam, batch)
+            psnrs.append(float(psnr(out["rgb"], batch["gt_image"])))
+            l1s.append(float(jnp.mean(jnp.abs(out["rgb"]
+                                              - batch["gt_image"]))))
+        if not psnrs:
+            return {}
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+
+
+def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
+          lpips_fn: Callable | None = None) -> GSTrainer:
+    scene = create_scene(cfg)
+    if cfg.diffusion.use_diffusion or cfg.optim.lambda_depth_lidar > 0:
+        # condition pngs must exist before distillation sampling
+        scene.render_conditions(scene.info.train_cameras
+                                + scene.info.test_cameras)
+    save_config(cfg, f"{scene.model_path}/config.yaml")
+    trainer = GSTrainer(cfg, scene, lpips_fn=lpips_fn)
+    trainer.run(diffusion_hook=diffusion_hook)
+    return trainer
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    p = argparse.ArgumentParser(description="3DGS distillation training")
+    p.add_argument("--config", required=True)
+    p.add_argument("opts", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = default_config()
+    cfg.merge(load_config(args.config))
+    merge_dotlist(cfg, args.opts)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

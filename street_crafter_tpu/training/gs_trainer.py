@@ -124,6 +124,7 @@ def make_train_step(
     spatial_lr_scale: float,
     lpips_fn: Callable | None = None,
     is_novel: bool = False,
+    active_sh_degree: int | None = None,
 ) -> Callable:
     """Build the jitted training step. ``batch`` carries camera arrays and
     supervision images; static render options come from cfg."""
@@ -140,7 +141,8 @@ def make_train_step(
         lambda_novel_lpips=cfg.optim.lambda_novel_lpips)
     tile_size = cfg.render.tile_size
     max_per_tile = cfg.render.max_intersects_per_tile
-    sh_degree = cfg.model.gaussian.sh_degree
+    sh_degree = (active_sh_degree if active_sh_degree is not None
+                 else cfg.model.gaussian.sh_degree)
     flip_prob = cfg.model.gaussian.flip_prob
 
     def sizes(params: SceneParams):

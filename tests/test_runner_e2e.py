@@ -1,0 +1,81 @@
+"""End-to-end: scene dir -> Scene -> short training run -> checkpoint ->
+render_trajectory. The full-stack integration slice (SURVEY §7 milestone B)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from street_crafter_tpu.config import default_config
+from tests.synthetic_scene import make_scene
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    scene_dir = make_scene(root, num_frames=3)
+    c = default_config()
+    c.source_path = scene_dir
+    c.model_path = os.path.join(root, "model")
+    c.data.cameras = [0]
+    c.data.split_test = 2
+    c.train.iterations = 30
+    c.train.test_iterations = [30]
+    c.train.checkpoint_iterations = [30]
+    c.train.novel_view_prob = 0.0
+    c.train.log_interval = 1000
+    c.optim.capacity_bkgd = 4096
+    c.optim.capacity_obj = 512
+    c.optim.capacity_sky = 1024
+    c.optim.densify_from_iter = 10
+    c.optim.densification_interval = 10
+    c.optim.densify_until_iter = 25
+    c.optim.opacity_reset_interval = 100000
+    c.optim.lambda_depth_lidar = 0.0
+    c.render.novel_view.shift = [2.0]
+    c.render.max_intersects_per_tile = 64
+    c.model.gaussian.sh_degree = 1
+    return c
+
+
+def test_scene_build(cfg):
+    from street_crafter_tpu.runner import create_scene
+    scene = create_scene(cfg)
+    assert scene.params.bkgd is not None
+    assert int(scene.params.bkgd.num_valid()) > 100
+    assert scene.params.actors is not None
+    A, cap = scene.params.actors.xyz.shape[:2]
+    assert A == 1 and cap == 512
+    assert scene.params.sky is not None
+    assert scene.meta.track_valid.shape[0] == 5  # all 5 cams in tracklets
+    assert len(scene.train_cameras) == 2
+    assert len(scene.test_cameras) == 1
+    # camera batches carry supervision
+    b = scene.batch_for(scene.info.train_cameras[0])
+    assert b["gt_image"].shape == (48, 64, 3)
+    assert "sky_mask" in b and "lidar_depth" in b
+
+
+def test_train_and_render(cfg):
+    from street_crafter_tpu.runner.train import GSTrainer, train
+    trainer = train(cfg)
+    assert int(trainer.state.step) == 30
+    report = trainer.evaluate()
+    assert np.isfinite(report["psnr"])
+
+    # checkpoint was written and a fresh trainer resumes from it
+    trainer2 = GSTrainer(cfg, trainer.scene)
+    assert trainer2.start_iter == 31
+
+    from street_crafter_tpu.runner.render import (render_novel_view,
+                                                  render_trajectory)
+    videos = render_trajectory(cfg)
+    assert "rgb" in videos and os.path.exists(videos["rgb"])
+    import imageio.v2 as imageio
+    first_png = os.path.join(cfg.model_path, "trajectory_30", "rgb",
+                             "000000_0.png")
+    img = imageio.imread(first_png)
+    assert img.shape == (48, 64, 3)
+
+    nv = render_novel_view(cfg)
+    assert any(os.path.exists(p) for p in nv.values())
