@@ -172,6 +172,7 @@ def default_config() -> Config:
 
         "diffusion": {
             "use_diffusion": False,
+            "tiny": False,          # test-size engine (no pretrained weights)
             "config_path": "",
             "ckpt_path": "",
             "height": 576,

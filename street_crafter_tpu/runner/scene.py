@@ -101,7 +101,8 @@ class Scene:
         is_novel = cam_info.metadata.get("is_novel_view", False)
         load_img = self.load_images and (not is_novel
                                          or cam_info._image is not None)
-        key = (cam_info.uid, cam_info.image_name, load_img)
+        key = (cam_info.uid, cam_info.image_name, load_img,
+               cam_info.metadata.get("diffusion_version", 0))
         if key not in self._batch_cache:
             self._batch_cache[key] = camera_batch(
                 cam_info, load_image=load_img, load_guidance=not is_novel)

@@ -11,6 +11,7 @@ CLI: python -m street_crafter_tpu.runner.train --config scene.yaml [k=v ...]
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from typing import Callable
@@ -28,7 +29,7 @@ from ..training.gs_trainer import (
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from .scene import Scene, create_scene
 
-DiffusionHook = Callable[["Scene", int, float, bool], None]
+DiffusionHook = Callable[["GSTrainer", int, float, bool], None]
 
 
 def psnr(img: jax.Array, gt: jax.Array) -> jax.Array:
@@ -113,6 +114,12 @@ class GSTrainer:
                        zip(scene.info.train_cameras, scene.train_cameras)}
         for info, cam in zip(scene.info.novel_view_cameras,
                              scene.novel_cameras):
+            if cfg.diffusion.use_diffusion:
+                # novel views are supervised at the diffusion resolution;
+                # render there directly (see runner/diffusion.py docstring)
+                from .diffusion import diffusion_camera
+                cam = diffusion_camera(info, cfg.diffusion.height,
+                                       cfg.diffusion.width)
             device_cams[("novel", info.uid, info.image_name)] = cam
 
         t0 = time.perf_counter()
@@ -124,7 +131,7 @@ class GSTrainer:
                 smin, smax = min(scales), max(scales)
                 scale = (smin - smax) * (iteration - lo) / max(hi - lo, 1) \
                     + smax
-                diffusion_hook(scene, iteration, scale,
+                diffusion_hook(self, iteration, scale,
                                iteration >= cfg.diffusion.masked_guidance_iter)
                 novel_pool = [
                     c for c in scene.info.novel_view_cameras
@@ -201,6 +208,45 @@ class GSTrainer:
         return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
 
 
+def make_diffusion_hook(cfg: Config) -> DiffusionHook:
+    """Build the distillation sampling hook: VDM engine + DiffusionRunner,
+    with the current 3DGS render as SDS initialization (train.py:123-138)."""
+    from ..models.vdm.engine import VideoDiffusionEngine
+    from ..models.vdm.weights import engine_from_config, load_vdm_params
+    from .diffusion import DiffusionRunner, diffusion_camera
+
+    engine_cfg = engine_from_config(cfg.diffusion)
+    engine = VideoDiffusionEngine(engine_cfg)
+    params = load_vdm_params(engine, cfg.diffusion)
+
+    def hook(trainer: "GSTrainer", iteration: int, scale: float,
+             masked_guidance: bool) -> None:
+        scene = trainer.scene
+        runner = DiffusionRunner(
+            scene, engine, params,
+            height=cfg.diffusion.height, width=cfg.diffusion.width,
+            window_size=cfg.diffusion.window_size,
+            num_steps=cfg.diffusion.num_steps,
+            cfg_scale=cfg.diffusion.cfg_scale,
+            save_dir=os.path.join(scene.model_path, "diffusion")
+            if cfg.diffusion.save_diffusion_render else None)
+
+        eval_render = make_eval_render(cfg, scene.meta,
+                                       trainer.active_sh(iteration))
+
+        def render_fn(info):
+            cam = diffusion_camera(info, cfg.diffusion.height,
+                                   cfg.diffusion.width)
+            batch = scene.batch_for(info)
+            return eval_render(trainer.state.params, cam, batch)
+
+        runner.run(scene.info.novel_view_cameras, scene.info.train_cameras,
+                   render_fn=render_fn, scale=scale,
+                   masked_guidance=masked_guidance)
+
+    return hook
+
+
 def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
           lpips_fn: Callable | None = None) -> GSTrainer:
     scene = create_scene(cfg)
@@ -209,6 +255,8 @@ def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
         scene.render_conditions(scene.info.train_cameras
                                 + scene.info.test_cameras)
     save_config(cfg, f"{scene.model_path}/config.yaml")
+    if diffusion_hook is None and cfg.diffusion.use_diffusion:
+        diffusion_hook = make_diffusion_hook(cfg)
     trainer = GSTrainer(cfg, scene, lpips_fn=lpips_fn)
     trainer.run(diffusion_hook=diffusion_hook)
     return trainer
