@@ -94,6 +94,7 @@ def default_config() -> Config:
             # loss weights (train.py:149-233)
             "lambda_l1": 1.0,
             "lambda_lpips": 0.01,
+            "lpips_weights": "",   # npz from ops.lpips.convert_lpips_torch
             "lambda_dssim": 0.2,
             "lambda_sky": 0.0,
             "lambda_sky_scale": [],
@@ -191,6 +192,26 @@ def default_config() -> Config:
             "cond_masked_guidance": True,
             "save_diffusion_render": True,
             "force_render_condition": False,
+        },
+
+        # video-diffusion fine-tune (training.sh:11-24 + waymo_high_res_mix)
+        "vdm_train": {
+            "data_root": "",
+            "subsets": ["waymo"],
+            "probs": [1.0],          # reference mix: [0.9, 0.1] waymo/pandaset
+            "postfix": "",
+            "batch_size": 1,         # per-step clips; sharded over data axis
+            "samples_per_epoch": 8000,
+            "epochs": 3,
+            "lr": 1.0e-5,
+            "grad_clip": 0.3,
+            "ema_decay": 0.9999,
+            "guidance_dropout": 0.15,
+            "height": 576,
+            "width": 1024,
+            "num_frames": 25,
+            "ckpt_every": 1000,
+            "log_every": 50,
         },
 
         "profiler": {"enabled": False, "trace_dir": None,

@@ -257,6 +257,12 @@ def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
     save_config(cfg, f"{scene.model_path}/config.yaml")
     if diffusion_hook is None and cfg.diffusion.use_diffusion:
         diffusion_hook = make_diffusion_hook(cfg)
+    if lpips_fn is None and (cfg.optim.lambda_lpips > 0
+                             or cfg.optim.lambda_novel_lpips > 0):
+        from ..ops.lpips import load_lpips
+        lpips_fn = load_lpips(cfg.optim.get("lpips_weights") or None)
+        if lpips_fn is None:
+            print("WARNING: no LPIPS weights; lpips terms disabled")
     trainer = GSTrainer(cfg, scene, lpips_fn=lpips_fn)
     trainer.run(diffusion_hook=diffusion_hook)
     return trainer

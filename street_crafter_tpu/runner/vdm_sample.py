@@ -1,0 +1,76 @@
+"""Standalone conditioned video sampling over meta_info clips.
+
+The video_diffusion/sample_condition.py CLI analog (:487-563): iterate val
+clips, run LiDAR-conditioned sampling (frame 0 as conditioning), save
+ground-truth / condition / sample videos side by side.
+
+CLI: python -m street_crafter_tpu.runner.vdm_sample --config cfg.yaml [k=v ..]
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, default_config, load_config, merge_dotlist
+from ..datasets.vdm_data import ClipDataset
+from ..models.vdm.engine import VideoDiffusionEngine
+from ..models.vdm.weights import engine_from_config, load_vdm_params
+from ..visualizers import save_video
+from ..visualizers.visualizer import to_uint8
+
+
+def sample_clips(cfg: Config, num_clips: int | None = None) -> list[str]:
+    v = cfg.vdm_train
+    out_dir = cfg.model_path or os.path.join(cfg.workspace, "output",
+                                             "vdm_samples", cfg.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    dcfg = cfg.diffusion.clone()
+    dcfg.sample_frames = v.num_frames
+    engine = VideoDiffusionEngine(engine_from_config(dcfg))
+    params = load_vdm_params(engine, dcfg, init_height=v.height,
+                             init_width=v.width)
+
+    ds = ClipDataset(v.data_root, split="val", target_height=v.height,
+                     target_width=v.width, num_frames=v.num_frames,
+                     postfix=v.get("postfix") or None)
+    n = min(num_clips or len(ds), len(ds))
+    key = jax.random.PRNGKey(23)  # the reference seeds 23 per call
+    videos = []
+    for i in range(n):
+        item = ds[i]
+        out = engine.sample(
+            params, key,
+            guide_images=jnp.asarray(item["guide_seq"]),
+            cond_image=jnp.asarray(item["img_seq"][:1]))
+        sample = (np.asarray(out) + 1.0) / 2.0
+        gt = (item["img_seq"] + 1.0) / 2.0
+        guide = (item["guide_seq"] + 1.0) / 2.0
+        frames = [np.concatenate([to_uint8(g), to_uint8(c), to_uint8(s)], 0)
+                  for g, c, s in zip(gt, guide, sample)]
+        videos.append(save_video(
+            os.path.join(out_dir, f"clip_{i:04d}.mp4"), frames,
+            fps=cfg.render.fps))
+        print(f"clip {i}: {videos[-1]}")
+    return videos
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    p = argparse.ArgumentParser(description="conditioned video sampling")
+    p.add_argument("--config", required=True)
+    p.add_argument("--num-clips", type=int, default=None)
+    p.add_argument("opts", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = default_config()
+    cfg.merge(load_config(args.config))
+    merge_dotlist(cfg, args.opts)
+    sample_clips(cfg, args.num_clips)
+
+
+if __name__ == "__main__":
+    main()

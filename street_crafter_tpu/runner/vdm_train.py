@@ -1,0 +1,143 @@
+"""Video-diffusion fine-tune driver.
+
+The video_diffusion/train.py analog, TPU-native: instead of Lightning
+DDP/DeepSpeed ZeRO-2 over NCCL (train.py:745-758), one jax mesh with a
+``data`` axis — params replicated, Adam moments ZeRO-sharded, batch clips
+sharded (training/vdm_trainer.py). Data comes from meta_info clip windows
+(datasets/vdm_data.py); first-stage encoding runs on device inside a jitted
+closure over the frozen VAE/CLIP.
+
+CLI: python -m street_crafter_tpu.runner.vdm_train --config cfg.yaml [k=v ..]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, default_config, load_config, merge_dotlist
+from ..datasets.vdm_data import ClipDataset, MultiSourceSampler
+from ..models.vdm.engine import VideoDiffusionEngine
+from ..models.vdm.weights import (engine_from_config, load_vdm_params,
+                                  save_vdm_params)
+from ..parallel import ShardingRules, make_mesh
+from ..training.vdm_trainer import (
+    init_vdm_train_state, make_vdm_train_step, shard_batch_for_mesh,
+    shard_vdm_train_state,
+)
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
+SUBSET_CLASSES = {"waymo": ClipDataset, "pandaset": ClipDataset}
+
+
+def build_sampler(cfg: Config) -> MultiSourceSampler:
+    v = cfg.vdm_train
+    datasets = []
+    for name in v.subsets:
+        root = os.path.join(v.data_root, name) if len(v.subsets) > 1 \
+            else v.data_root
+        datasets.append(SUBSET_CLASSES[name.lower()](
+            root, split="train", target_height=v.height,
+            target_width=v.width, num_frames=v.num_frames,
+            postfix=v.get("postfix") or None))
+    return MultiSourceSampler(
+        datasets, probs=list(v.probs) if v.probs else None,
+        batch_size=v.batch_size, samples_per_epoch=v.samples_per_epoch,
+        seed=cfg.seed)
+
+
+def make_encode_fn(engine: VideoDiffusionEngine, params):
+    """Jitted: raw image batch -> latent training batch
+    (shared_step, diffusion_condition.py:237-247)."""
+
+    @jax.jit
+    def encode(img_seq: jax.Array, guide_seq: jax.Array) -> dict:
+        B, T = img_seq.shape[:2]
+        flat = lambda x: x.reshape((B * T,) + x.shape[2:])
+        clip = lambda x: x.reshape((B, T) + x.shape[1:])
+        latents = clip(engine.encode_images(params, flat(img_seq)))
+        guidance = clip(engine.encode_images(params, flat(guide_seq)))
+        cond, _ = engine.build_conditioning(params, img_seq[:, 0])
+        cond = jax.tree_util.tree_map(
+            lambda x: x.reshape((B, T) + x.shape[1:]), cond)
+        return {"latents": latents, "cond": cond,
+                "guidance_latents": guidance}
+
+    return encode
+
+
+def finetune(cfg: Config) -> None:
+    v = cfg.vdm_train
+    model_path = cfg.model_path or os.path.join(
+        cfg.workspace, "output", "vdm", cfg.exp_name)
+    os.makedirs(model_path, exist_ok=True)
+
+    dcfg = cfg.diffusion.clone()
+    dcfg.sample_frames = v.num_frames
+    engine = VideoDiffusionEngine(engine_from_config(dcfg))
+    params = load_vdm_params(engine, dcfg, init_height=v.height,
+                             init_width=v.width)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh({"data": n_dev})
+    rules = ShardingRules(mesh)
+    state = shard_vdm_train_state(
+        init_vdm_train_state(engine, params, lr=v.lr,
+                             grad_clip=v.grad_clip), rules)
+    if cfg.resume:
+        restored, it = load_checkpoint(model_path, state)
+        if restored is not None:
+            state = shard_vdm_train_state(restored, rules)
+            print(f"resumed from step {it}")
+
+    step_fn = make_vdm_train_step(
+        engine, lr=v.lr, grad_clip=v.grad_clip, ema_decay=v.ema_decay,
+        guidance_dropout=v.guidance_dropout, rules=rules)
+    encode_fn = make_encode_fn(
+        engine, {"vae": params["vae"], "clip": params["clip"]})
+
+    key = jax.random.PRNGKey(cfg.seed)
+    sampler = build_sampler(cfg)
+    step = int(state.step)
+    t0 = time.perf_counter()
+    for epoch in range(v.epochs):
+        for np_batch in sampler:
+            key, k = jax.random.split(key)
+            batch = encode_fn(jnp.asarray(np_batch["img_seq"]),
+                              jnp.asarray(np_batch["guide_seq"]))
+            batch = shard_batch_for_mesh(batch, rules, v.num_frames)
+            state, scalars = step_fn(state, batch, k)
+            step += 1
+            if step % v.log_every == 0:
+                dt = time.perf_counter() - t0
+                print(f"[epoch {epoch} step {step}] "
+                      f"loss={float(scalars['loss']):.4f} "
+                      f"({v.log_every / dt:.2f} it/s)", flush=True)
+                t0 = time.perf_counter()
+            if step % v.ckpt_every == 0:
+                save_checkpoint(model_path, step, state)
+    save_checkpoint(model_path, step, state)
+    # export EMA weights in engine format for sampling (bin_to_st analog)
+    save_vdm_params(os.path.join(model_path, "ema_params"),
+                    {"unet": state.ema_params, **state.frozen_params})
+    print(f"done: {step} steps; ema params at {model_path}/ema_params")
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    p = argparse.ArgumentParser(description="video diffusion fine-tune")
+    p.add_argument("--config", required=True)
+    p.add_argument("opts", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = default_config()
+    cfg.merge(load_config(args.config))
+    merge_dotlist(cfg, args.opts)
+    finetune(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,13 +28,10 @@ class PointCloud(NamedTuple):
 
 
 def read_ply(path: str | os.PathLike) -> PointCloud:
-    try:
-        from ..native import ply as native_ply
-        out = native_ply.read_ply(os.fspath(path))
-        if out is not None:
-            return PointCloud(*out)
-    except Exception:
-        pass
+    from .. import native
+    out = native.read_ply(os.fspath(path))
+    if out is not None:
+        return PointCloud(*out)
     return _read_ply_py(path)
 
 
@@ -130,6 +127,13 @@ def write_ply(path: str | os.PathLike, points: np.ndarray,
 def voxel_downsample(points: np.ndarray, colors: np.ndarray | None,
                      voxel_size: float) -> tuple[np.ndarray, np.ndarray | None]:
     """open3d voxel_down_sample analog: mean of points/colors per voxel."""
+    from .. import native
+    out = native.voxel_downsample(
+        np.ascontiguousarray(points, np.float32),
+        None if colors is None else np.ascontiguousarray(colors, np.float32),
+        voxel_size)
+    if out is not None:
+        return out
     keys = np.floor(points / voxel_size).astype(np.int64)
     _, inv, counts = np.unique(keys, axis=0, return_inverse=True,
                                return_counts=True)
@@ -150,6 +154,11 @@ def remove_radius_outliers(points: np.ndarray, nb_points: int = 5,
     """open3d remove_radius_outlier analog: keep points with >= nb_points
     neighbors within radius (grid-hash neighborhood count). Returns a bool
     keep-mask."""
+    from .. import native
+    out = native.radius_outliers(
+        np.ascontiguousarray(points, np.float32), nb_points, radius)
+    if out is not None:
+        return out
     cell = radius
     keys = np.floor(points / cell).astype(np.int64)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)

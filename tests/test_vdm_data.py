@@ -1,0 +1,70 @@
+"""VDM data pipeline: meta prep, clip dataset, multi-source sampler, and a
+short fine-tune through the driver on the 8-device CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from street_crafter_tpu.config import default_config
+from street_crafter_tpu.datasets.vdm_data import (
+    ClipDataset, MultiSourceSampler, prepare_meta)
+from tests.synthetic_scene import make_scene
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vdm_data"))
+    scene_dir = make_scene(root, num_frames=8, scene_name="016")
+    # render LiDAR conditions for cam 0 (what prepare_meta indexes)
+    from street_crafter_tpu.data_processor import get_pointcloud_processor
+    from street_crafter_tpu.datasets.waymo import read_waymo_scene
+    info = read_waymo_scene(scene_dir, cameras=[0], use_novel_view_cameras=False)
+    proc = get_pointcloud_processor("waymo", scene_dir, cameras=[0],
+                                    selected_frames=(0, 7))
+    proc.render_conditions(info.train_cameras, info.metadata["obj_meta"])
+    return root
+
+
+def test_prepare_meta_and_dataset(data_root):
+    path = prepare_meta(data_root, ["016"], num_frames=4, stride=2)
+    metas = json.load(open(path))
+    # frames 0..7, windows of 4 at stride 2 with end < total: starts 0,2
+    assert len(metas) == 2
+    assert len(metas[0]["frames"]) == 4
+    assert all(os.path.exists(os.path.join(data_root, p))
+               for p in metas[0]["frames"] + metas[0]["guidances"]
+               + metas[0]["guidances_mask"])
+
+    ds = ClipDataset(data_root, split="train", target_height=24,
+                     target_width=48, num_frames=4)
+    item = ds[0]
+    assert item["img_seq"].shape == (4, 24, 48, 3)
+    assert item["guide_seq"].shape == (4, 24, 48, 3)
+    assert -1.0 <= item["img_seq"].min() and item["img_seq"].max() <= 1.0
+    np.testing.assert_allclose(item["cond_frames_without_noise"],
+                               item["img_seq"][0])
+
+    sampler = MultiSourceSampler([ds], batch_size=2, samples_per_epoch=3)
+    batches = list(sampler)
+    assert len(batches) == 3
+    assert batches[0]["img_seq"].shape == (2, 4, 24, 48, 3)
+
+
+def test_vdm_finetune_driver(data_root, tmp_path):
+    prepare_meta(data_root, ["016"], num_frames=4, stride=2)
+    cfg = default_config()
+    cfg.model_path = str(tmp_path / "vdm_model")
+    cfg.diffusion.tiny = True
+    cfg.diffusion.num_steps = 2
+    cfg.vdm_train.merge({
+        "data_root": data_root, "subsets": ["waymo"], "probs": [1.0],
+        "batch_size": 8, "samples_per_epoch": 2, "epochs": 1,
+        "height": 16, "width": 32, "num_frames": 4,
+        "ckpt_every": 2, "log_every": 1})
+    from street_crafter_tpu.runner.vdm_train import finetune
+    finetune(cfg)
+    assert os.path.isdir(os.path.join(cfg.model_path, "checkpoints",
+                                      "iteration_2"))
+    assert os.path.isdir(os.path.join(cfg.model_path, "ema_params"))
