@@ -66,8 +66,18 @@ class Scene:
                                  self.info.metadata["start_frame"]
                                  + self.info.metadata["num_frames"] - 1),
                 delta_frames=cfg.data.delta_frames)
+            colmap_points = None
+            if cfg.data.use_colmap:
+                from ..data_processor.colmap_driver import (
+                    load_colmap_points, run_colmap)
+                colmap_points = load_colmap_points(self.model_path)
+                if colmap_points is None:
+                    run_colmap(self.info.train_cameras,
+                               os.path.join(self.model_path, "colmap"))
+                    colmap_points = load_colmap_points(self.model_path)
             ply_paths = self.processor.initialize_ply(
-                self.model_path, self.info.metadata["obj_meta"])
+                self.model_path, self.info.metadata["obj_meta"],
+                colmap_points=colmap_points)
         self.ply_paths = ply_paths
 
         self.params: SceneParams

@@ -122,9 +122,14 @@ class GSTrainer:
                                        cfg.diffusion.width)
             device_cams[("novel", info.uid, info.image_name)] = cam
 
+        from ..utils.metrics import MetricsLogger, ProfilerHook
+        metrics = MetricsLogger(os.path.join(scene.model_path, "logs"))
+        profiler = ProfilerHook(cfg.profiler, scene.model_path)
+
         t0 = time.perf_counter()
         ema_loss = None
         for iteration in range(self.start_iter, cfg.train.iterations + 1):
+            profiler.step(iteration)
             # -- diffusion distillation sampling (train.py:123-138) ---------
             if diffusion_hook is not None and iteration in sample_iters:
                 lo, hi = min(sample_iters), max(sample_iters)
@@ -166,14 +171,17 @@ class GSTrainer:
             loss = float(scalars["loss"])
             ema_loss = loss if ema_loss is None else \
                 0.6 * ema_loss + 0.4 * loss
-            if log_fn is not None and \
-                    iteration % cfg.train.log_interval == 0:
-                log_fn(iteration, {k: float(v) for k, v in scalars.items()})
+            if iteration % cfg.train.log_interval == 0:
+                vals = {k: float(v) for k, v in scalars.items()}
+                metrics.log_scalars(iteration, vals, prefix="train/")
+                if log_fn is not None:
+                    log_fn(iteration, vals)
 
             if iteration in cfg.train.test_iterations:
                 report = self.evaluate(sh)
                 print(f"[it {iteration}] eval " + " ".join(
                     f"{k}={v:.3f}" for k, v in report.items()))
+                metrics.log_scalars(iteration, report, prefix="eval/")
                 if log_fn is not None:
                     log_fn(iteration, report)
 
@@ -186,6 +194,8 @@ class GSTrainer:
                 print(f"[it {iteration}] ema_loss={ema_loss:.4f} "
                       f"({100 / dt:.1f} it/s)", flush=True)
                 t0 = time.perf_counter()
+        profiler.close()
+        metrics.close()
         return self.state
 
     def evaluate(self, sh: int | None = None) -> dict[str, float]:

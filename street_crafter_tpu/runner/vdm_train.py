@@ -100,12 +100,17 @@ def finetune(cfg: Config) -> None:
     encode_fn = make_encode_fn(
         engine, {"vae": params["vae"], "clip": params["clip"]})
 
+    from ..utils.metrics import MetricsLogger, ProfilerHook
+    metrics = MetricsLogger(os.path.join(model_path, "logs"))
+    profiler = ProfilerHook(cfg.profiler, model_path)
+
     key = jax.random.PRNGKey(cfg.seed)
     sampler = build_sampler(cfg)
     step = int(state.step)
     t0 = time.perf_counter()
     for epoch in range(v.epochs):
         for np_batch in sampler:
+            profiler.step(step)
             key, k = jax.random.split(key)
             batch = encode_fn(jnp.asarray(np_batch["img_seq"]),
                               jnp.asarray(np_batch["guide_seq"]))
@@ -114,12 +119,16 @@ def finetune(cfg: Config) -> None:
             step += 1
             if step % v.log_every == 0:
                 dt = time.perf_counter() - t0
+                vals = {k2: float(v2) for k2, v2 in scalars.items()}
+                metrics.log_scalars(step, vals, prefix="train/")
                 print(f"[epoch {epoch} step {step}] "
-                      f"loss={float(scalars['loss']):.4f} "
+                      f"loss={vals['loss']:.4f} "
                       f"({v.log_every / dt:.2f} it/s)", flush=True)
                 t0 = time.perf_counter()
             if step % v.ckpt_every == 0:
                 save_checkpoint(model_path, step, state)
+    profiler.close()
+    metrics.close()
     save_checkpoint(model_path, step, state)
     # export EMA weights in engine format for sampling (bin_to_st analog)
     save_vdm_params(os.path.join(model_path, "ema_params"),
