@@ -50,10 +50,11 @@ def render_flat(
         width, height, near_plane=near_plane, far_plane=far_plane,
         antialiasing=antialiasing, mask=flat.valid)
 
-    means2d = proj.means2d
+    u, v = proj.u, proj.v
     if viewspace_zero is not None:
         # densification-gradient hook (the retain_grad analog)
-        means2d = means2d + viewspace_zero
+        u = u + viewspace_zero[:, 0]
+        v = v + viewspace_zero[:, 1]
 
     opacities = flat.opacity * proj.compensations
 
@@ -67,8 +68,9 @@ def render_flat(
     chan = jnp.concatenate([colors, proj.depths[:, None]], -1)
 
     out = rasterize_pixels(
-        means2d, proj.conics, chan, opacities, proj.depths, proj.valid,
-        proj.radii, width=width, height=height, tile_size=tile_size,
+        u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
+        proj.depths, proj.valid, proj.radii,
+        width=width, height=height, tile_size=tile_size,
         max_per_tile=max_per_tile)
 
     rgb = out.colors[..., :3]
@@ -79,7 +81,6 @@ def render_flat(
         "depth": depth,
         "radii": proj.radii / float(max(height, width)),
         "visibility": proj.valid & (proj.radii > 0),
-        "means2d": means2d,
     }
 
 

@@ -24,12 +24,27 @@ EPS2D = 0.3  # screen-space low-pass filter (same constant as INRIA/gsplat)
 
 
 class Projection(NamedTuple):
-    means2d: jax.Array        # [N, 2] pixel coords
+    """Column (structure-of-arrays) layout: every field is [N]. Narrow
+    [N, 2..4] arrays waste 125/128 TPU vector lanes per op, so the hot path
+    never materializes them; ``means2d`` / ``conics`` properties stack on
+    demand for tests/debugging."""
+    u: jax.Array              # [N] pixel x
+    v: jax.Array              # [N] pixel y
     depths: jax.Array         # [N] camera-space z
-    conics: jax.Array         # [N, 3] upper-tri inverse 2D covariance (a, b, c)
+    conic_a: jax.Array        # [N] inverse 2D covariance (a, b, c)
+    conic_b: jax.Array
+    conic_c: jax.Array
     radii: jax.Array          # [N] screen-space extent in pixels (0 = culled)
     compensations: jax.Array  # [N] antialiasing opacity compensation
     valid: jax.Array          # [N] bool
+
+    @property
+    def means2d(self) -> jax.Array:
+        return jnp.stack([self.u, self.v], -1)
+
+    @property
+    def conics(self) -> jax.Array:
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c], -1)
 
 
 def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
@@ -37,6 +52,49 @@ def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
     R = Q.to_matrix(quats)
     M = R * scales[..., None, :]
     return M @ jnp.swapaxes(M, -1, -2)
+
+
+def _covar_cam_scalar(quats: jax.Array, scales: jax.Array, Rcw: jax.Array):
+    """Camera-frame covariance entries as six [N] columns.
+
+    TPU-layout note: batched [N,3,3] matmuls waste 125/128 vector lanes and
+    hit the MXU with pathological padding; expanding the 3x3 algebra into
+    scalar x [N]-column FMAs keeps every op fully lane-parallel (this is the
+    projection hot path: ~10ms -> <1ms at N=200k).
+    """
+    q = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # rotation matrix entries (wxyz convention), each [N]
+    r = [
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ]
+    s2 = [scales[..., 0] ** 2, scales[..., 1] ** 2, scales[..., 2] ** 2]
+
+    # world covariance S[i][k] = sum_j R[i,j] R[k,j] s_j^2 (6 unique entries)
+    def S(i, k):
+        return (r[3 * i] * r[3 * k] * s2[0]
+                + r[3 * i + 1] * r[3 * k + 1] * s2[1]
+                + r[3 * i + 2] * r[3 * k + 2] * s2[2])
+
+    Sw = [[S(0, 0), S(0, 1), S(0, 2)],
+          [None, S(1, 1), S(1, 2)],
+          [None, None, S(2, 2)]]
+
+    def Sij(i, j):
+        return Sw[i][j] if j >= i else Sw[j][i]
+
+    # camera covariance C[a][b] = sum_ij Rcw[a,i] Rcw[b,j] S[i,j]
+    def C(a, b):
+        acc = 0.0
+        for i in range(3):
+            for j in range(3):
+                acc = acc + Rcw[a, i] * Rcw[b, j] * Sij(i, j)
+        return acc
+
+    return C(0, 0), C(0, 1), C(0, 2), C(1, 1), C(1, 2), C(2, 2)
 
 
 def project_gaussians(
@@ -59,14 +117,16 @@ def project_gaussians(
     tcw = w2c[:3, 3].astype(f32)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
-    # camera-space means
-    p = means @ Rcw.T + tcw
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    # camera-space means (scalar-expanded: [N,3]@[3,3] would MXU-pad 3->128)
+    mx, my, mz = means[..., 0], means[..., 1], means[..., 2]
+    x = Rcw[0, 0] * mx + Rcw[0, 1] * my + Rcw[0, 2] * mz + tcw[0]
+    y = Rcw[1, 0] * mx + Rcw[1, 1] * my + Rcw[1, 2] * mz + tcw[1]
+    z = Rcw[2, 0] * mx + Rcw[2, 1] * my + Rcw[2, 2] * mz + tcw[2]
     zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
 
-    # world covariance -> camera covariance
-    covar = quat_scale_to_covar(quats.astype(f32), scales.astype(f32))
-    covar_c = jnp.einsum("ij,njk,lk->nil", Rcw, covar, Rcw)
+    # world covariance -> camera covariance (scalar-expanded, lane-parallel)
+    c00, c01, c02, c11, c12, c22 = _covar_cam_scalar(
+        quats.astype(f32), scales.astype(f32), Rcw)
 
     # frustum-clamped perspective Jacobian (INRIA: clamp x/z to 1.3*tan_fov)
     tan_fovx = 0.5 * width / fx
@@ -83,8 +143,6 @@ def project_gaussians(
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
 
-    c00, c01, c02 = covar_c[..., 0, 0], covar_c[..., 0, 1], covar_c[..., 0, 2]
-    c11, c12, c22 = covar_c[..., 1, 1], covar_c[..., 1, 2], covar_c[..., 2, 2]
     # cov2d = J Sigma_c J^T (2x2 symmetric)
     sxx = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
     sxy = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
@@ -102,7 +160,6 @@ def project_gaussians(
         compensations = jnp.ones_like(det)
 
     inv_det = 1.0 / det_safe
-    conics = jnp.stack([byy * inv_det, -sxy * inv_det, bxx * inv_det], -1)
 
     # screen extent: 3 sigma of the larger eigenvalue
     b = 0.5 * (bxx + byy)
@@ -111,7 +168,6 @@ def project_gaussians(
 
     u = fx * x * inv_z + cx
     v = fy * y * inv_z + cy
-    means2d = jnp.stack([u, v], -1)
 
     valid = (z > near_plane) & (z < far_plane) & (det > 0.0)
     valid &= (radius > radius_clip)
@@ -123,9 +179,11 @@ def project_gaussians(
 
     radii = jnp.where(valid, radius, 0.0)
     return Projection(
-        means2d=means2d,
+        u=u, v=v,
         depths=z,
-        conics=conics,
+        conic_a=byy * inv_det,
+        conic_b=-sxy * inv_det,
+        conic_c=bxx * inv_det,
         radii=radii,
         compensations=jnp.where(valid, compensations, 0.0),
         valid=valid,

@@ -109,9 +109,10 @@ def test_rasterize_matches_oracle(rng):
     H, W = 24, 40
     m2, con, col, opa, dep, val, rad = random_scene(rng, 30, H, W)
     out = rasterize_pixels(
-        jnp.asarray(m2), jnp.asarray(con), jnp.asarray(col), jnp.asarray(opa),
-        jnp.asarray(dep), jnp.asarray(val), jnp.asarray(rad),
-        width=W, height=H, tile_size=8, max_per_tile=30)
+        jnp.asarray(m2[:, 0]), jnp.asarray(m2[:, 1]), jnp.asarray(con[:, 0]),
+        jnp.asarray(con[:, 1]), jnp.asarray(con[:, 2]), jnp.asarray(col),
+        jnp.asarray(opa), jnp.asarray(dep), jnp.asarray(val),
+        jnp.asarray(rad), width=W, height=H, tile_size=8, max_per_tile=30)
     img_ref, acc_ref = oracle_rasterize(m2, con, col, opa, dep, val, H, W)
     np.testing.assert_allclose(np.asarray(out.alpha), acc_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out.colors), img_ref, atol=2e-5)
@@ -122,9 +123,10 @@ def test_rasterize_invalid_excluded(rng):
     m2, con, col, opa, dep, val, rad = random_scene(rng, 10, H, W)
     val[::2] = False
     out = rasterize_pixels(
-        jnp.asarray(m2), jnp.asarray(con), jnp.asarray(col), jnp.asarray(opa),
-        jnp.asarray(dep), jnp.asarray(val), jnp.asarray(rad),
-        width=W, height=H, tile_size=8, max_per_tile=16)
+        jnp.asarray(m2[:, 0]), jnp.asarray(m2[:, 1]), jnp.asarray(con[:, 0]),
+        jnp.asarray(con[:, 1]), jnp.asarray(con[:, 2]), jnp.asarray(col),
+        jnp.asarray(opa), jnp.asarray(dep), jnp.asarray(val),
+        jnp.asarray(rad), width=W, height=H, tile_size=8, max_per_tile=16)
     img_ref, acc_ref = oracle_rasterize(m2, con, col, opa, dep, val, H, W)
     np.testing.assert_allclose(np.asarray(out.colors), img_ref, atol=2e-5)
 
@@ -140,7 +142,9 @@ def test_rasterize_depth_ordering():
     for dep, expect in [(np.array([1.0, 2.0], np.float32), 0),
                         (np.array([2.0, 1.0], np.float32), 1)]:
         out = rasterize_pixels(
-            jnp.asarray(m2), jnp.asarray(con), jnp.asarray(col),
+            jnp.asarray(m2[:, 0]), jnp.asarray(m2[:, 1]),
+            jnp.asarray(con[:, 0]), jnp.asarray(con[:, 1]),
+            jnp.asarray(con[:, 2]), jnp.asarray(col),
             jnp.asarray(opa), jnp.asarray(dep), jnp.ones(2, bool),
             jnp.asarray(rad), width=W, height=H, tile_size=8, max_per_tile=2)
         center = np.asarray(out.colors)[4, 4]
@@ -154,8 +158,9 @@ def test_rasterize_differentiable(rng):
 
     def loss(m2j, colj, opaj):
         out = rasterize_pixels(
-            m2j, jnp.asarray(con), colj, opaj, jnp.asarray(dep),
-            jnp.asarray(val), jnp.asarray(rad),
+            m2j[:, 0], m2j[:, 1], jnp.asarray(con[:, 0]),
+            jnp.asarray(con[:, 1]), jnp.asarray(con[:, 2]), colj, opaj,
+            jnp.asarray(dep), jnp.asarray(val), jnp.asarray(rad),
             width=W, height=H, tile_size=8, max_per_tile=12)
         return jnp.mean((out.colors - target) ** 2)
 
@@ -185,9 +190,10 @@ def test_rasterize_capacity_overflow_drops_farthest(rng):
     dep = np.arange(1, n + 1, dtype=np.float32)
     rad = np.full(n, 4.0, np.float32)
     out = rasterize_pixels(
-        jnp.asarray(m2), jnp.asarray(con), jnp.asarray(col), jnp.asarray(opa),
-        jnp.asarray(dep), jnp.ones(n, bool), jnp.asarray(rad),
-        width=W, height=H, tile_size=8, max_per_tile=2)
+        jnp.asarray(m2[:, 0]), jnp.asarray(m2[:, 1]), jnp.asarray(con[:, 0]),
+        jnp.asarray(con[:, 1]), jnp.asarray(con[:, 2]), jnp.asarray(col),
+        jnp.asarray(opa), jnp.asarray(dep), jnp.ones(n, bool),
+        jnp.asarray(rad), width=W, height=H, tile_size=8, max_per_tile=2)
     # nearest is color 0 with alpha≈0.999: front dominates
     center = np.asarray(out.colors)[4, 4]
     assert center[0] > 0.99
