@@ -174,19 +174,25 @@ class VideoDiffusionEngine:
         sds_scale: float | None = None,
         cfg_scale: float | None = None,
         num_steps: int | None = None,
+        cond_indices: tuple[int, ...] = (0,),
     ) -> jax.Array:
         """Full conditioned sampling of one window. Returns [T, H, W, 3] in
-        [-1, 1] (sample_condition.py:418-473)."""
+        [-1, 1] (sample_condition.py:418-473). ``cond_image`` holds the
+        frames at ``cond_indices`` (interleaved conditioning uses several,
+        diffusion_utils.py:137-226); the first one drives the CLIP/concat
+        conditioning."""
         cfgc = self.cfg
         T = cfgc.num_frames
         steps = num_steps or cfgc.num_steps
 
         guidance_latents = self.encode_images(params, guide_images)
-        cond, uc = self.build_conditioning(params, cond_image)
+        cond, uc = self.build_conditioning(params, cond_image[:1])
         cond_latent = self.encode_images(params, cond_image)
-        cond_frame = jnp.concatenate(
-            [cond_latent, jnp.zeros((T - 1,) + cond_latent.shape[1:])])
-        cond_mask = jnp.zeros((T,)).at[0].set(1.0)
+        cond_frame = jnp.zeros((T,) + cond_latent.shape[1:])
+        cond_mask = jnp.zeros((T,))
+        for j, idx in enumerate(cond_indices):
+            cond_frame = cond_frame.at[idx].set(cond_latent[j])
+            cond_mask = cond_mask.at[idx].set(1.0)
 
         denoise_fn = self.make_cfg_denoise_fn(
             params, cond, uc, guidance_latents, cond_mask, cfg_scale)

@@ -208,3 +208,55 @@ class DiffusionRunner:
                 name = f"{cam.image_name}_scale{scale}.png"
                 save_image(os.path.join(self.save_dir, name), result[i])
         return result
+
+    def run_interleaved(self, test_cameras: list[CameraInfo],
+                        train_cameras: list[CameraInfo]) -> np.ndarray:
+        """Condition on every train frame inside each window; fill the test
+        frames between them (run_interleaved, diffusion_utils.py:137-226).
+        Returns the sampled test frames [len(test), H, W, 3] in [0, 1]."""
+        cameras = sorted(test_cameras + train_cameras,
+                         key=lambda c: c.metadata["frame"])
+        train_frames = {c.metadata["frame"] for c in train_cameras}
+        if self.scene is not None and self.scene.processor is not None:
+            self.scene.processor.render_conditions(
+                cameras, self.scene.info.metadata["obj_meta"])
+
+        n = len(cameras)
+        T = self.sample_frames
+        assert n >= T, f"not enough frames: {n} < {T}"
+        step = T - self.window_size
+
+        guides = [self.load_guidance(c) for c in cameras]
+        filled = np.zeros(n, bool)
+        result = np.zeros((n, self.th, self.tw, 3), np.float32)
+        key = jax.random.PRNGKey(self.seed)
+
+        for start in range(0, n, step):
+            end = min(start + T, n)
+            start = end - T
+            window = cameras[start:end]
+            cond_indices = tuple(
+                i for i, c in enumerate(window)
+                if c.metadata["frame"] in train_frames)
+            cond_images = np.stack(
+                [self.load_cond_image(window[i]) for i in cond_indices])
+            out = self.engine.sample(
+                self.params, key,
+                guide_images=jax.numpy.asarray(np.stack(guides[start:end])),
+                cond_image=jax.numpy.asarray(cond_images),
+                cfg_scale=self.cfg_scale, num_steps=self.num_steps,
+                cond_indices=cond_indices)
+            result[start:end] = (np.asarray(out) + 1.0) / 2.0
+            filled[start:end] = True
+        assert filled.all()
+
+        for i, cam in enumerate(cameras):
+            cam._image = result[i]
+            cam.metadata["diffusion_version"] = \
+                cam.metadata.get("diffusion_version", 0) + 1
+            if self.save_dir:
+                save_image(os.path.join(self.save_dir,
+                                        f"{cam.image_name}.png"), result[i])
+        test_set = {id(c) for c in test_cameras}
+        return np.stack([result[i] for i, c in enumerate(cameras)
+                         if id(c) in test_set])

@@ -59,6 +59,44 @@ def sample_clips(cfg: Config, num_clips: int | None = None) -> list[str]:
     return videos
 
 
+def sample_rollout(engine: VideoDiffusionEngine, params, key,
+                   guide_images: np.ndarray, cond_image: np.ndarray,
+                   overlap: int = 3, cfg_scale: float | None = None,
+                   num_steps: int | None = None) -> np.ndarray:
+    """Multi-round long-video rollout with frame overlap (Vista do_sample,
+    sample_utils.py:286-376): round 1 conditions on the given frame, each
+    later round on the last ``overlap`` frames of the previous round.
+    guide_images: [F, H, W, 3] in [-1, 1]; returns [F, H, W, 3] in [-1, 1].
+    """
+    T = engine.cfg.num_frames
+    F = guide_images.shape[0]
+    out = np.zeros_like(guide_images)
+    pos = 0
+    cond_imgs = np.asarray(cond_image)[None] if cond_image.ndim == 3 \
+        else np.asarray(cond_image)
+    cond_indices: tuple[int, ...] = (0,)
+    while pos < F:
+        end = min(pos + T, F)
+        start = end - T
+        # overlap frames must sit at the window head; shift back if clipped
+        if start < pos - overlap:
+            start = max(pos - overlap, 0)
+            end = start + T
+        key, k = jax.random.split(key)
+        frames = engine.sample(
+            params, k,
+            guide_images=jnp.asarray(guide_images[start:end]),
+            cond_image=jnp.asarray(cond_imgs),
+            cfg_scale=cfg_scale, num_steps=num_steps,
+            cond_indices=cond_indices)
+        frames = np.asarray(frames)
+        out[start:end] = frames
+        pos = end
+        cond_imgs = frames[-overlap:]
+        cond_indices = tuple(range(overlap))
+    return out
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
     p = argparse.ArgumentParser(description="conditioned video sampling")

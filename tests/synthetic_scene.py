@@ -187,3 +187,77 @@ def make_scene(root: str, num_frames: int = 4, seed: int = 0,
 def _ensure(path):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
+
+
+def make_pandaset_scene(root: str, num_frames: int = 4, num_cams: int = 2,
+                        seed: int = 0, scene_name: str = "001") -> str:
+    """Synthetic processed-PandaSet scene (pandaset_helpers layout): c2w per
+    (frame, cam), instances json, lidar_forward dirs."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, scene_name)
+    from street_crafter_tpu.datasets.pandaset_layout import CAMERA_NAMES
+
+    os.makedirs(os.path.join(d, "intrinsics"), exist_ok=True)
+    os.makedirs(os.path.join(d, "extrinsics"), exist_ok=True)
+    fx = fy = 40.0
+    for c in range(num_cams):
+        np.savetxt(os.path.join(d, "intrinsics", f"{c}.txt"),
+                   np.array([fx, fy, IMG_W / 2, IMG_H / 2]))
+
+    timestamps = {name: [] for name in CAMERA_NAMES[:num_cams]}
+    cam2veh = np.array([  # z forward = +x, y down
+        [0.0, 0.0, 1.0, 0.0],
+        [-1.0, 0.0, 0.0, 0.0],
+        [0.0, -1.0, 0.0, 0.0],
+        [0, 0, 0, 1.0]])
+    for f in range(num_frames):
+        veh = np.eye(4)
+        veh[0, 3] = 2.0 * f
+        veh[2, 3] = 2.0
+        for c in range(num_cams):
+            c2w = veh @ cam2veh
+            c2w[1, 3] += 0.3 * c
+            np.savetxt(os.path.join(d, "extrinsics", f"{f:03d}_{c}.txt"),
+                       c2w)
+            timestamps[CAMERA_NAMES[c]].append(0.1 * f + 0.005 * c)
+            img = rng.integers(0, 255, (IMG_H, IMG_W, 3), dtype=np.uint8)
+            _write_png(os.path.join(d, "images", f"{f:03d}_{c}.png"), img)
+    import json
+    with open(os.path.join(d, "timestamps.json"), "w") as fh:
+        json.dump(timestamps, fh)
+
+    # one moving car instance
+    frame_instances = {str(f): [0] for f in range(num_frames)}
+    poses = []
+    for f in range(num_frames):
+        p = np.eye(4)
+        p[:3, 3] = [10.0, 0.5 * f, 1.0]
+        poses.append(p[:3].tolist())
+    instances_info = {"0": {
+        "class_name": "Car",
+        "frame_annotations": {
+            "frame_idx": list(range(num_frames)),
+            "obj_to_world": poses,
+            "box_size": [[4.5, 2.0, 1.8]] * num_frames,
+        }}}
+    os.makedirs(os.path.join(d, "instances"), exist_ok=True)
+    with open(os.path.join(d, "instances", "frame_instances.json"), "w") as fh:
+        json.dump(frame_instances, fh)
+    with open(os.path.join(d, "instances", "instances_info.json"), "w") as fh:
+        json.dump(instances_info, fh)
+
+    for f in range(num_frames):
+        gx = rng.uniform(-5 + 2 * f, 25 + 2 * f, 3000)
+        gy = rng.uniform(-8, 8, 3000)
+        pts = np.stack([gx, gy, np.zeros_like(gx)], -1).astype(np.float32)
+        cols = rng.uniform(0.2, 1.0, (len(pts), 3)).astype(np.float32)
+        write_ply(os.path.join(d, "lidar_forward", "background",
+                               f"{f:03d}.ply"),
+                  pts, cols, np.ones(len(pts), bool))
+        apts = (rng.uniform(-0.5, 0.5, (100, 3))
+                * np.array([4.5, 2.0, 1.8])).astype(np.float32)
+        write_ply(os.path.join(d, "lidar_forward", "actor", "0",
+                               f"{f:03d}.ply"),
+                  apts, rng.uniform(0.2, 1.0, (100, 3)).astype(np.float32),
+                  np.ones(100, bool))
+    return d
