@@ -23,37 +23,49 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
-                  seq_len_kv: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, seq_len_kv: int):
+    """Grid-streamed online softmax: grid = (bh, nq, nk); the kv axis is the
+    innermost grid dim so K/V blocks stream through VMEM while running
+    (max, denom, acc) live in scratch — per-step VMEM is O(block sizes), not
+    O(seq_kv) (the previous whole-KV-resident variant blew the 16 MB scoped
+    VMEM at 9216 tokens)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
     bq, d = q.shape
-    nk = k_ref.shape[1] // block_k
+    k = k_ref[0].astype(jnp.float32)                  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)
+    block_k = k.shape[0]
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [BQ, BK]
-        # mask padded keys
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
-            + j * block_k
-        s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [BQ, BK]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
+        + j * block_k
+    s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m = m_scr[:]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+                    ).astype(o_ref.dtype)
 
 
 def _pad_to(x, n, axis):
@@ -82,20 +94,24 @@ def _flash_forward(q, k, v, block_q: int = 256, block_k: int = 512):
     vp = _pad_to(v, skv_p, 1)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=bk,
-                          seq_len_kv=skv),
-        grid=(bh, sq_p // bq),
+        functools.partial(_flash_kernel, scale=scale, seq_len_kv=skv),
+        grid=(bh, sq_p // bq, skv_p // bk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
     )(qp, kp, vp)
     return out[:, :sq]
 
