@@ -65,58 +65,166 @@ def load_vdm_params(engine: VideoDiffusionEngine, dcfg,
 
 # -- torch checkpoint ingestion ------------------------------------------------
 
-def convert_torch_state_dict(state_dict: dict, engine: VideoDiffusionEngine,
-                             params) -> tuple[dict, list[str]]:
-    """Map a reference torch state_dict (SVD/Vista/StreetCrafter naming,
-    e.g. 'model.diffusion_model.*', 'first_stage_model.*',
-    'conditioner.embedders.*') onto this engine's param pytree.
+def _mlp_map(torch_prefix: str, flax_prefix: str) -> dict[str, str]:
+    """torch Sequential(linear, SiLU, linear) -> MLPEmbed(fc1, fc2)."""
+    return {f"{torch_prefix}.0": f"{flax_prefix}/fc1",
+            f"{torch_prefix}.2": f"{flax_prefix}/fc2"}
 
-    Returns (new_params, unmatched_keys). Matching is shape-based within
-    name-translated prefixes; conv kernels are transposed OIHW->HWIO and
-    linear weights [out,in]->[in,out].
-    """
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    taken = [False] * len(flat)
-    path_strs = ["/".join(str(k) for k in path) for path, _ in flat]
 
-    def to_jax(name: str, t: np.ndarray) -> np.ndarray:
-        a = np.asarray(t, np.float32)
-        if a.ndim == 4:      # conv OIHW -> HWIO
-            return a.transpose(2, 3, 1, 0)
-        if a.ndim == 5:      # conv3d OIDHW -> DHWIO
-            return a.transpose(2, 3, 4, 1, 0)
-        if a.ndim == 2 and "weight" in name:
-            return a.T
-        return a
+def _resblock_map(tp: str, fp: str, video: bool = True) -> dict[str, str]:
+    """torch (Video)ResBlock module -> flax VideoResBlock
+    (layers.py ResBlock naming; torch openaimodel in/emb/out_layers)."""
+    def one(t, f):
+        return {f"{t}.in_layers.0": f"{f}/in_norm",
+                f"{t}.in_layers.2": f"{f}/in_conv",
+                f"{t}.emb_layers.1": f"{f}/emb_proj",
+                f"{t}.out_layers.0": f"{f}/out_norm",
+                f"{t}.out_layers.3": f"{f}/out_conv",
+                f"{t}.skip_connection": f"{f}/skip_conv"}
+    out = one(tp, f"{fp}/spatial")
+    if video:
+        out.update(one(f"{tp}.time_stack", f"{fp}/time_stack"))
+        out[f"{tp}.time_mixer"] = f"{fp}/time_mixer"
+    return out
 
-    unmatched = []
+
+def _transformer_map(tp: str, fp: str, depth: int) -> dict[str, str]:
+    """torch SpatialVideoTransformer -> flax SpatialVideoTransformer."""
+    def block(t, f, with_ff_in: bool):
+        m = {}
+        for a in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                m[f"{t}.{a}.{proj}"] = f"{f}/{a}/{proj}"
+            m[f"{t}.{a}.to_out.0"] = f"{f}/{a}/to_out"
+        for i in (1, 2, 3):
+            m[f"{t}.norm{i}"] = f"{f}/norm{i}"
+        m[f"{t}.ff.net.0.proj"] = f"{f}/ff/proj_in"
+        m[f"{t}.ff.net.2"] = f"{f}/ff/proj_out"
+        if with_ff_in:
+            m[f"{t}.norm_in"] = f"{f}/norm_in"
+            m[f"{t}.ff_in.net.0.proj"] = f"{f}/ff_in/proj_in"
+            m[f"{t}.ff_in.net.2"] = f"{f}/ff_in/proj_out"
+        return m
+
+    out = {f"{tp}.norm": f"{fp}/norm",
+           f"{tp}.proj_in": f"{fp}/proj_in",
+           f"{tp}.proj_out": f"{fp}/proj_out",
+           f"{tp}.time_mixer": f"{fp}/time_mixer"}
+    out.update(_mlp_map(f"{tp}.time_pos_embed", f"{fp}/time_pos_embed"))
+    for d in range(depth):
+        out.update(block(f"{tp}.transformer_blocks.{d}", f"{fp}/block_{d}",
+                         with_ff_in=False))
+        out.update(block(f"{tp}.time_stack.{d}", f"{fp}/time_block_{d}",
+                         with_ff_in=True))
+    return out
+
+
+def unet_name_map(cfg: UNetConfig) -> dict[str, str]:
+    """torch module path (without .weight/.bias) -> flax module path for the
+    SVD/StreetCrafter VideoUNet (video_model.py:83-535 naming). The flax
+    side follows models/vdm/unet.py block names."""
+    m: dict[str, str] = {}
+    m.update(_mlp_map("time_embed", "time_embed"))
+    m.update(_mlp_map("cond_time_stack_embed", "cond_time_stack_embed"))
+    m.update(_mlp_map("label_emb.0", "label_emb"))
+    m["input_blocks.0.0"] = "input_conv"
+    m["condition_input_blocks.0.0"] = "condition_conv_0"
+    m["condition_input_blocks.1.0"] = "condition_conv_1"
+
+    depth = cfg.transformer_depth
+    n = 1
+    ds = 1
+    for level in range(len(cfg.channel_mult)):
+        for i in range(cfg.num_res_blocks):
+            m.update(_resblock_map(f"input_blocks.{n}.0",
+                                   f"in_{level}_{i}_res"))
+            if ds in cfg.attention_resolutions:
+                m.update(_transformer_map(f"input_blocks.{n}.1",
+                                          f"in_{level}_{i}_attn", depth))
+            n += 1
+        if level != len(cfg.channel_mult) - 1:
+            m[f"input_blocks.{n}.0.op"] = f"down_{level}/conv"
+            n += 1
+            ds *= 2
+
+    m.update(_resblock_map("middle_block.0", "mid_res_0"))
+    m.update(_transformer_map("middle_block.1", "mid_attn", depth))
+    m.update(_resblock_map("middle_block.2", "mid_res_1"))
+
+    n = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            m.update(_resblock_map(f"output_blocks.{n}.0",
+                                   f"out_{level}_{i}_res"))
+            j = 1
+            if ds in cfg.attention_resolutions:
+                m.update(_transformer_map(f"output_blocks.{n}.1",
+                                          f"out_{level}_{i}_attn", depth))
+                j = 2
+            if level and i == cfg.num_res_blocks:
+                m[f"output_blocks.{n}.{j}.conv"] = f"up_{level}/conv"
+                ds //= 2
+            n += 1
+
+    m["out.0"] = "out_norm"
+    m["out.2"] = "out_conv"
+    return m
+
+
+def _to_jax_array(torch_key: str, a: np.ndarray, target_shape) -> np.ndarray:
+    """Transpose torch tensors into flax layout, validated by shape."""
+    a = np.asarray(a, np.float32)
+    if a.ndim == 4:                      # conv OIHW -> HWIO
+        a = a.transpose(2, 3, 1, 0)
+    elif a.ndim == 5:                    # conv3d OIDHW -> DHWIO
+        a = a.transpose(2, 3, 4, 1, 0)
+    elif a.ndim == 2 and torch_key.endswith("weight"):
+        a = a.T                          # linear [out,in] -> [in,out]
+    if tuple(a.shape) != tuple(target_shape):
+        a = a.reshape(target_shape)      # scalars / squeezed mix factors
+    return a
+
+
+_SUFFIX = {"weight": ("kernel", "scale", "mix_factor"), "bias": ("bias",),
+           "mix_factor": ("mix_factor",)}
+
+
+def convert_torch_state_dict(state_dict: dict, unet_cfg: UNetConfig,
+                             unet_params) -> tuple[dict, list[str]]:
+    """Exact-name conversion of a torch `model.diffusion_model.*` state_dict
+    onto the flax UNet param tree (the bin_to_st.py ingestion analog).
+    Returns (new_params, unmatched torch keys)."""
+    name_map = unet_name_map(unet_cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(unet_params)
+    by_path = {}
+    for i, (path, leaf) in enumerate(flat):
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        by_path[key.removeprefix("params/")] = i
+        by_path[key] = i
+
     new_leaves = [leaf for _, leaf in flat]
-    for name, tensor in state_dict.items():
-        arr = to_jax(name, tensor)
+    unmatched = []
+    for tkey, tensor in state_dict.items():
+        name = tkey.removeprefix("model.diffusion_model.")
+        module, _, suffix = name.rpartition(".")
+        if module in name_map:
+            flax_module = name_map[module]
+        elif name in name_map:           # parameters without a suffix
+            flax_module, suffix = name_map[name], "mix_factor"
+        else:
+            unmatched.append(tkey)
+            continue
         hit = None
-        for i, (pstr, (path, leaf)) in enumerate(zip(path_strs, flat)):
-            if taken[i] or leaf.shape != arr.shape:
-                continue
-            if _name_compatible(name, pstr):
-                hit = i
+        for cand in _SUFFIX.get(suffix, ()):
+            p = f"{flax_module}/{cand}"
+            pp = f"params/{flax_module}/{cand}"
+            if p in by_path or pp in by_path:
+                hit = by_path.get(p, by_path.get(pp))
                 break
         if hit is None:
-            unmatched.append(name)
-        else:
-            taken[hit] = True
-            new_leaves[hit] = arr.astype(np.asarray(flat[hit][1]).dtype)
+            unmatched.append(tkey)
+            continue
+        leaf = flat[hit][1]
+        new_leaves[hit] = _to_jax_array(tkey, tensor, np.shape(leaf)).astype(
+            np.asarray(leaf).dtype)
     return jax.tree_util.tree_unflatten(treedef, new_leaves), unmatched
-
-
-_PREFIX_MAP = {
-    "model.diffusion_model.": "unet",
-    "first_stage_model.": "vae",
-    "conditioner.embedders.": "clip",
-}
-
-
-def _name_compatible(torch_name: str, jax_path: str) -> bool:
-    for prefix, root in _PREFIX_MAP.items():
-        if torch_name.startswith(prefix):
-            return jax_path.startswith(root) or f"'{root}'" in jax_path
-    return True
