@@ -47,6 +47,10 @@ class UNetConfig:
     merge_strategy: str = "learned_with_images"
     merge_factor: float = 0.5
     use_spatial_context: bool = True
+    # activation checkpointing of res/attention blocks (the reference trains
+    # with use_checkpoint: True, waymo_high_res_mix.yaml:35); jax.checkpoint
+    # rematerializes block activations in the backward pass
+    remat: bool = True
 
     @staticmethod
     def tiny() -> "UNetConfig":
@@ -91,9 +95,14 @@ class VideoUNet(nn.Module):
             y = jnp.repeat(y, num_frames, axis=0)
         emb = emb + MLPEmbed(ted, hidden_dim=ted, name="label_emb")(y)
 
+        AttnCls = nn.remat(SpatialVideoTransformer, static_argnums=(3,)) \
+            if cfg.remat else SpatialVideoTransformer
+        ResCls = nn.remat(VideoResBlock, static_argnums=(3,)) \
+            if cfg.remat else VideoResBlock
+
         def attn(ch, depth, name):
             heads = ch // cfg.num_head_channels
-            return SpatialVideoTransformer(
+            return AttnCls(
                 heads=heads, dim_head=cfg.num_head_channels, depth=depth,
                 context_dim=cfg.context_dim,
                 use_spatial_context=cfg.use_spatial_context,
@@ -101,7 +110,7 @@ class VideoUNet(nn.Module):
                 merge_factor=cfg.merge_factor, name=name)
 
         def res(out_ch, name):
-            return VideoResBlock(
+            return ResCls(
                 out_channels=out_ch,
                 video_kernel_size=tuple(cfg.video_kernel_size),
                 merge_strategy=cfg.merge_strategy,
