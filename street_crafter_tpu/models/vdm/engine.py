@@ -45,6 +45,7 @@ class EngineConfig:
     fps_id: float = 10.0
     motion_bucket_id: float = 127.0
     cond_aug: float = 0.0
+    decode_chunk: int = 0     # >0: chunked VAE decode with 3-frame overlap
 
     @staticmethod
     def tiny(num_frames: int = 3, num_steps: int = 4) -> "EngineConfig":
@@ -99,6 +100,42 @@ class VideoDiffusionEngine:
         t = num_frames or self.cfg.num_frames
         return self.vae.apply(params["vae"], z, num_frames=t,
                               method=VAE.decode)
+
+    def decode_latents_chunked(self, params, z: jax.Array,
+                               chunk: int = 8, overlap: int = 3) -> jax.Array:
+        """Memory-bounded decode: overlapping temporal chunks, averaged in
+        the overlap region (decode_first_stage, diffusion_condition.py:
+        183-214). The VideoDecoder's temporal conv sees chunk+overlap frames
+        of context; each chunk is one fixed-shape jitted decode."""
+        n = z.shape[0]
+        if n <= chunk or overlap >= chunk:
+            return self.decode_latents(params, z, num_frames=n)
+        step = chunk - overlap
+        outs: list = []
+        prev = z[:overlap]
+        pos = overlap
+        while pos < n:
+            cur = z[pos: pos + step]
+            ctx_z = jnp.concatenate([prev, cur])
+            out = self.decode_latents(params, ctx_z,
+                                      num_frames=ctx_z.shape[0])
+            if not outs:
+                outs.append(out)
+            else:
+                outs[-1] = outs[-1].at[-overlap:].set(
+                    (outs[-1][-overlap:] + out[:overlap]) / 2.0)
+                outs.append(out[overlap:])
+            prev = cur[-overlap:]
+            pos += step
+        return jnp.concatenate(outs)
+
+    def encode_images_chunked(self, params, images: jax.Array,
+                              chunk: int = 8) -> jax.Array:
+        """Per-frame encoder needs no temporal context; plain chunking
+        (encode_first_stage, diffusion_condition.py:216-229)."""
+        outs = [self.encode_images(params, images[i: i + chunk])
+                for i in range(0, images.shape[0], chunk)]
+        return jnp.concatenate(outs)
 
     def clip_embed(self, params, images: jax.Array) -> jax.Array:
         pre = clip_preprocess(images, self.cfg.clip.image_size)
@@ -209,7 +246,11 @@ class VideoDiffusionEngine:
             z = euler_edm_sample(denoise_fn, noise, sigmas,
                                  cond_frame=cond_frame, cond_mask=cond_mask)
 
-        frames = self.decode_latents(params, z, num_frames=T)
+        if cfgc.decode_chunk:
+            frames = self.decode_latents_chunked(params, z,
+                                                 chunk=cfgc.decode_chunk)
+        else:
+            frames = self.decode_latents(params, z, num_frames=T)
         return jnp.clip(frames, -1.0, 1.0)
 
     # -- training ---------------------------------------------------------------

@@ -33,7 +33,8 @@ def engine_from_config(dcfg) -> EngineConfig:
         cfg_scale=dcfg.cfg_scale,
         fps_id=dcfg.fps_id,
         motion_bucket_id=dcfg.motion_bucket_id,
-        cond_aug=dcfg.cond_aug)
+        cond_aug=dcfg.cond_aug,
+        decode_chunk=int(dcfg.get("decode_chunk", 8)))
 
 
 def save_vdm_params(path: str, params) -> None:
