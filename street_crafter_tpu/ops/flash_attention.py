@@ -24,7 +24,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale: float, seq_len_kv: int):
+                  scale: float, seq_len_kv: int, need_mask: bool):
     """Grid-streamed online softmax: grid = (bh, nq, nk); the kv axis is the
     innermost grid dim so K/V blocks stream through VMEM while running
     (max, denom, acc) live in scratch — per-step VMEM is O(block sizes), not
@@ -39,18 +39,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+    # keep the dots in the input dtype (bf16 runs the MXU at full rate; the
+    # f32 upcast would cost ~8x) and accumulate in f32
+    q = q_ref[0]                                       # [BQ, D]
     bq, d = q.shape
-    k = k_ref[0].astype(jnp.float32)                  # [BK, D]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                                       # [BK, D]
+    v = v_ref[0]
     block_k = k.shape[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [BQ, BK]
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
-        + j * block_k
-    s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
+        preferred_element_type=jnp.float32) * scale    # [BQ, BK] f32
+    if need_mask:  # static: only when kv was padded
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
+            + j * block_k
+        s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
 
     m = m_scr[:]
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -59,7 +62,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_scr[:] = m_new
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
@@ -78,7 +81,7 @@ def _pad_to(x, n, axis):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_forward(q, k, v, block_q: int = 256, block_k: int = 512):
+def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024):
     """[BH, S, D] x [BH, Skv, D] -> [BH, S, D]."""
     bh, sq, d = q.shape
     skv = k.shape[1]
@@ -94,7 +97,8 @@ def _flash_forward(q, k, v, block_q: int = 256, block_k: int = 512):
     vp = _pad_to(v, skv_p, 1)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, seq_len_kv=skv),
+        functools.partial(_flash_kernel, scale=scale, seq_len_kv=skv,
+                          need_mask=skv_p != skv),
         grid=(bh, sq_p // bq, skv_p // bk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
