@@ -48,7 +48,8 @@ def main():
     @jax.jit
     def render(flat, w2c, K, center):
         out = render_flat(flat, w2c, K, center, W, H,
-                          sh_degree=3, tile_size=16, max_per_tile=256)
+                          sh_degree=3, tile_size=16, max_per_tile=256,
+                          bf16_composite=True)
         return out["rgb"]
 
     w2c = cam.w2c

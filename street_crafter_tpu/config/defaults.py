@@ -150,6 +150,8 @@ def default_config() -> Config:
 
         "render": {
             "antialiasing": True,
+            "bf16_composite": True,   # eval/inference rendering only
+            # (training always composites in f32 for gradient fidelity)
             "scaling_modifier": 1.0,
             "fps": 10,
             "save_video": True,

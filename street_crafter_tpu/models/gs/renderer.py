@@ -42,6 +42,7 @@ def render_flat(
     viewspace_zero: jax.Array | None = None,
     near_plane: float = 0.01,
     far_plane: float = 1e8,
+    bf16_composite: bool = False,
 ) -> dict[str, jax.Array]:
     """Render a flat gaussian soup. Returns rgb [H,W,3], acc, depth, radii,
     visibility."""
@@ -71,7 +72,7 @@ def render_flat(
         u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
         proj.depths, proj.valid, proj.radii,
         width=width, height=height, tile_size=tile_size,
-        max_per_tile=max_per_tile)
+        max_per_tile=max_per_tile, bf16_composite=bf16_composite)
 
     rgb = out.colors[..., :3]
     depth = out.colors[..., 3] / jnp.maximum(out.alpha, 1e-10)
@@ -106,6 +107,7 @@ def render_scene(
     viewspace_zero: jax.Array | None = None,
     clamp: bool = False,
     white_background: bool = False,
+    bf16_composite: bool = False,
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -132,7 +134,8 @@ def render_scene(
     result = render_flat(
         flat, w2c, K, cam_center, camera.width, camera.height,
         sh_degree=sh_degree, tile_size=tile_size, max_per_tile=max_per_tile,
-        antialiasing=antialiasing, viewspace_zero=viewspace_zero)
+        antialiasing=antialiasing, viewspace_zero=viewspace_zero,
+        bf16_composite=bf16_composite)
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(
@@ -142,7 +145,8 @@ def render_scene(
         sky_res = render_flat(
             sky_flat, w2c, K, cam_center, camera.width, camera.height,
             sh_degree=sh_degree, tile_size=tile_size,
-            max_per_tile=max_per_tile, antialiasing=antialiasing)
+            max_per_tile=max_per_tile, antialiasing=antialiasing,
+            bf16_composite=bf16_composite)
         result["rgb"] = result["rgb"] + sky_res["rgb"] * (1.0 - result["acc"][..., None])
         result["acc_sky"] = sky_res["acc"]
     elif include_sky and params.sky_cubemap is not None:

@@ -48,7 +48,8 @@ def make_eval_render(cfg: Config, meta, sh_degree: int):
             sh_degree=sh_degree, tile_size=cfg.render.tile_size,
             max_per_tile=cfg.render.max_intersects_per_tile,
             interpolate_pose=True, clamp=True,
-            white_background=bool(cfg.data.white_background))
+            white_background=bool(cfg.data.white_background),
+            bf16_composite=bool(cfg.render.get("bf16_composite", True)))
         return out
     return eval_render
 
