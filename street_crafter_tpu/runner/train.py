@@ -183,6 +183,7 @@ class GSTrainer:
                 print(f"[it {iteration}] eval " + " ".join(
                     f"{k}={v:.3f}" for k, v in report.items()))
                 metrics.log_scalars(iteration, report, prefix="eval/")
+                self._log_eval_image(metrics, iteration, sh)
                 if log_fn is not None:
                     log_fn(iteration, report)
 
@@ -198,6 +199,22 @@ class GSTrainer:
         profiler.close()
         metrics.close()
         return self.state
+
+    def _log_eval_image(self, metrics, iteration: int, sh: int) -> None:
+        """First test view render -> tensorboard (training_report image
+        logging, train.py:371-416)."""
+        scene = self.scene
+        if not scene.info.test_cameras:
+            return
+        info, cam = scene.info.test_cameras[0], scene.test_cameras[0]
+        batch = scene.batch_for(info)
+        out = make_eval_render(self.cfg, scene.meta, sh)(
+            self.state.params, cam, batch)
+        import numpy as _np
+        img = _np.asarray(out["rgb"])
+        if "gt_image" in batch:
+            img = _np.concatenate([img, _np.asarray(batch["gt_image"])], 1)
+        metrics.log_image(iteration, "eval/render_vs_gt", img)
 
     def evaluate(self, sh: int | None = None) -> dict[str, float]:
         """PSNR/L1 on held-out test cameras (training_report,
@@ -258,9 +275,22 @@ def make_diffusion_hook(cfg: Config) -> DiffusionHook:
     return hook
 
 
+def backup_code(model_path: str) -> None:
+    """Snapshot the package into the run dir (saveRuntimeCode,
+    train.py:33-51)."""
+    import shutil
+    import street_crafter_tpu
+    src = os.path.dirname(street_crafter_tpu.__file__)
+    dst = os.path.join(model_path, "code_backup", "street_crafter_tpu")
+    if not os.path.exists(dst):
+        shutil.copytree(src, dst, ignore=shutil.ignore_patterns(
+            "__pycache__", "*.so", "*.pyc"))
+
+
 def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
           lpips_fn: Callable | None = None) -> GSTrainer:
     scene = create_scene(cfg)
+    backup_code(scene.model_path)
     if cfg.diffusion.use_diffusion or cfg.optim.lambda_depth_lidar > 0:
         # condition pngs must exist before distillation sampling
         scene.render_conditions(scene.info.train_cameras
