@@ -92,7 +92,54 @@ def render_novel_view(cfg: Config) -> dict[str, str]:
     return videos
 
 
-MODES = {"trajectory": render_trajectory, "novel_view": render_novel_view}
+def render_diffusion(cfg: Config) -> dict[str, str]:
+    """Run the conditioned VDM over the novel trajectories and dump videos
+    (render.py:78-107): the current 3DGS render seeds the SDS partial
+    denoise, outputs land next to the checkpoints."""
+    from ..models.vdm.engine import VideoDiffusionEngine
+    from ..models.vdm.weights import engine_from_config, load_vdm_params
+    from ..visualizers import save_video
+    from .diffusion import DiffusionRunner, diffusion_camera
+    from .train import make_eval_render
+
+    scene = create_scene(cfg)
+    state, it = load_trained_state(cfg, scene)
+    engine = VideoDiffusionEngine(engine_from_config(cfg.diffusion))
+    params = load_vdm_params(engine, cfg.diffusion)
+    out_dir = os.path.join(scene.model_path, f"diffusion_{it}")
+    runner = DiffusionRunner(
+        scene, engine, params, height=cfg.diffusion.height,
+        width=cfg.diffusion.width, window_size=cfg.diffusion.window_size,
+        num_steps=cfg.diffusion.num_steps,
+        cfg_scale=cfg.diffusion.cfg_scale, save_dir=out_dir)
+
+    eval_render = make_eval_render(cfg, scene.meta,
+                                   cfg.model.gaussian.sh_degree)
+
+    def render_fn(info):
+        cam = diffusion_camera(info, cfg.diffusion.height,
+                               cfg.diffusion.width)
+        return eval_render(state.params, cam, scene.batch_for(info))
+
+    runner.run(scene.info.novel_view_cameras, scene.info.train_cameras,
+               render_fn=render_fn, scale=min(cfg.diffusion.sds_scales))
+
+    videos = {}
+    for shift in sorted({i.metadata["novel_view_id"]
+                         for i in scene.info.novel_view_cameras}):
+        frames = [c._image for c in sorted(
+            (c for c in scene.info.novel_view_cameras
+             if c.metadata["novel_view_id"] == shift and c._image is not None),
+            key=lambda c: c.metadata["frame"])]
+        if frames:
+            videos[f"shift_{shift:.2f}"] = save_video(
+                os.path.join(out_dir, f"diffusion_shift_{shift:.2f}.mp4"),
+                frames, fps=cfg.render.fps)
+    return videos
+
+
+MODES = {"trajectory": render_trajectory, "novel_view": render_novel_view,
+         "diffusion": render_diffusion}
 
 
 def main(argv: list[str] | None = None) -> None:
