@@ -81,13 +81,14 @@ class GSTrainer:
         """oneupSHdegree every 1000 iters (train.py:119-120)."""
         return min(iteration // 1000, self.max_sh)
 
-    def step_fn(self, is_novel: bool, sh: int) -> Callable:
-        key = (is_novel, sh)
+    def step_fn(self, is_novel: bool, sh: int,
+                with_obj_acc: bool = False) -> Callable:
+        key = (is_novel, sh, with_obj_acc)
         if key not in self._steps:
             self._steps[key] = make_train_step(
                 self.cfg, self.scene.meta, spatial_lr_scale=self.scene.extent,
                 lpips_fn=self.lpips_fn, is_novel=is_novel,
-                active_sh_degree=sh)
+                active_sh_degree=sh, with_obj_acc=with_obj_acc)
         return self._steps[key]
 
     def next_key(self) -> jax.Array:
@@ -155,7 +156,15 @@ class GSTrainer:
                 continue
 
             sh = self.active_sh(iteration)
-            step = self.step_fn(is_novel, sh)
+            # objects-only acc regularizer after densification settles
+            # (train.py:202: lambda_reg > 0, every but each reg_obj_acc_every-
+            # th iteration, past densify_until_iter)
+            with_obj_acc = (
+                not is_novel and o.lambda_reg > 0
+                and iteration % cfg.train.reg_obj_acc_every != 0
+                and iteration > o.densify_until_iter
+                and "obj_bound" in batch)
+            step = self.step_fn(is_novel, sh, with_obj_acc)
             self.state, scalars = step(self.state, camera, batch,
                                        self.next_key())
 

@@ -125,6 +125,7 @@ def make_train_step(
     lpips_fn: Callable | None = None,
     is_novel: bool = False,
     active_sh_degree: int | None = None,
+    with_obj_acc: bool = False,
 ) -> Callable:
     """Build the jitted training step. ``batch`` carries camera arrays and
     supervision images; static render options come from cfg."""
@@ -173,12 +174,24 @@ def make_train_step(
                 max_per_tile=max_per_tile, flip_mask=flip_mask,
                 viewspace_zero=vz,
                 white_background=bool(cfg.data.white_background))
+            acc_obj = None
+            if with_obj_acc and params.actors is not None:
+                # objects-only pass for the acc-entropy regularizer
+                # (train.py:202-208, render_object)
+                out_obj = render_scene(
+                    p, meta, camera,
+                    frame_idx=batch["frame_idx"], frame=batch["frame"],
+                    cam_id=batch["cam_id"], timestamp=batch.get("timestamp"),
+                    include_bkgd=False, include_sky=False,
+                    sh_degree=sh_degree, tile_size=tile_size,
+                    max_per_tile=max_per_tile, flip_mask=flip_mask)
+                acc_obj = out_obj["acc"]
             scaling = p.bkgd.get_scaling() if p.bkgd is not None else None
             valid = p.bkgd.valid if p.bkgd is not None else None
             loss, scalars = compute_train_loss(
                 out, batch, weights, is_novel=is_novel, lpips_fn=lpips_fn,
                 scene_scaling=scaling, scene_valid=valid,
-                color_corr=p.color_corr)
+                color_corr=p.color_corr, acc_obj=acc_obj)
             return loss, (scalars, out)
 
         vz0 = jnp.zeros((n_flat, 2), jnp.float32)

@@ -56,6 +56,30 @@ def test_scene_build(cfg):
     assert "sky_mask" in b and "lidar_depth" in b
 
 
+def test_obj_acc_regularizer(cfg):
+    """lambda_reg engages the objects-only acc entropy pass after
+    densify_until_iter (train.py:202-208 schedule)."""
+    from street_crafter_tpu.runner import create_scene
+    from street_crafter_tpu.runner.train import GSTrainer
+    c = cfg.clone()
+    c.model_path = cfg.model_path + "_objacc"
+    c.train.iterations = 28
+    c.train.test_iterations = []
+    c.train.checkpoint_iterations = []
+    c.train.log_interval = 1
+    c.train.reg_obj_acc_every = 5
+    c.optim.lambda_reg = 0.1
+    c.optim.densify_until_iter = 25
+    c.resume = False
+    scene = create_scene(c)
+    trainer = GSTrainer(c, scene)
+    seen = {}
+    trainer.run(log_fn=lambda it, s: seen.update({it: s}))
+    late = [s for it, s in seen.items() if it > 26]
+    assert any("obj_acc_loss" in s for s in late), sorted(seen)
+    assert all("obj_acc_loss" not in s for it, s in seen.items() if it < 25)
+
+
 def test_train_and_render(cfg):
     from street_crafter_tpu.runner.train import GSTrainer, train
     trainer = train(cfg)
