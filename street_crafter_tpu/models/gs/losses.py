@@ -85,10 +85,15 @@ def scale_flatten_loss(scaling: jax.Array, valid: jax.Array) -> jax.Array:
             + jnp.where(valid, aniso, 0.0).sum()) / n
 
 
-def color_correction_reg(color_corr: jax.Array) -> jax.Array:
-    """Identity regularizer on affine color matrices (color_correction.py:140-146)."""
+def color_correction_reg(color_corr: jax.Array,
+                         color_corr_sky: jax.Array | None = None) -> jax.Array:
+    """L1 identity regularizer on the affine color matrices (incl. the sky
+    set when present, color_correction.py:140-146)."""
     eye = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    return jnp.mean((color_corr - eye) ** 2)
+    reg = jnp.mean(jnp.abs(color_corr - eye))
+    if color_corr_sky is not None:
+        reg = reg + jnp.mean(jnp.abs(color_corr_sky - eye))
+    return reg
 
 
 def compute_train_loss(
@@ -100,6 +105,7 @@ def compute_train_loss(
     scene_scaling: jax.Array | None = None,
     scene_valid: jax.Array | None = None,
     color_corr: jax.Array | None = None,
+    color_corr_sky: jax.Array | None = None,
     acc_obj: jax.Array | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     image = render_out["rgb"]
@@ -150,7 +156,7 @@ def compute_train_loss(
         scalars["scale_flatten_loss"] = sl
 
     if weights.lambda_color_correction > 0 and color_corr is not None:
-        cl = color_correction_reg(color_corr)
+        cl = color_correction_reg(color_corr, color_corr_sky)
         loss = loss + weights.lambda_color_correction * cl
         scalars["color_correction_loss"] = cl
 

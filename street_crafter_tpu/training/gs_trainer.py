@@ -191,7 +191,8 @@ def make_train_step(
             loss, scalars = compute_train_loss(
                 out, batch, weights, is_novel=is_novel, lpips_fn=lpips_fn,
                 scene_scaling=scaling, scene_valid=valid,
-                color_corr=p.color_corr, acc_obj=acc_obj)
+                color_corr=p.color_corr, color_corr_sky=p.color_corr_sky,
+                acc_obj=acc_obj)
             return loss, (scalars, out)
 
         vz0 = jnp.zeros((n_flat, 2), jnp.float32)
