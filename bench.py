@@ -49,7 +49,7 @@ def main():
     def render(flat, w2c, K, center):
         out = render_flat(flat, w2c, K, center, W, H,
                           sh_degree=3, tile_size=16, max_per_tile=256,
-                          bf16_composite=True)
+                          bf16_composite=True, recall_target=0.85)
         return out["rgb"]
 
     w2c = cam.w2c

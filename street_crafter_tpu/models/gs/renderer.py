@@ -43,6 +43,7 @@ def render_flat(
     near_plane: float = 0.01,
     far_plane: float = 1e8,
     bf16_composite: bool = False,
+    recall_target: float = 0.95,
 ) -> dict[str, jax.Array]:
     """Render a flat gaussian soup. Returns rgb [H,W,3], acc, depth, radii,
     visibility."""
@@ -72,7 +73,8 @@ def render_flat(
         u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
         proj.depths, proj.valid, proj.radii,
         width=width, height=height, tile_size=tile_size,
-        max_per_tile=max_per_tile, bf16_composite=bf16_composite)
+        max_per_tile=max_per_tile, bf16_composite=bf16_composite,
+        recall_target=recall_target)
 
     rgb = out.colors[..., :3]
     depth = out.colors[..., 3] / jnp.maximum(out.alpha, 1e-10)
@@ -108,6 +110,7 @@ def render_scene(
     clamp: bool = False,
     white_background: bool = False,
     bf16_composite: bool = False,
+    recall_target: float = 0.95,
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -135,7 +138,7 @@ def render_scene(
         flat, w2c, K, cam_center, camera.width, camera.height,
         sh_degree=sh_degree, tile_size=tile_size, max_per_tile=max_per_tile,
         antialiasing=antialiasing, viewspace_zero=viewspace_zero,
-        bf16_composite=bf16_composite)
+        bf16_composite=bf16_composite, recall_target=recall_target)
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(

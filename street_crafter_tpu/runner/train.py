@@ -49,7 +49,8 @@ def make_eval_render(cfg: Config, meta, sh_degree: int):
             max_per_tile=cfg.render.max_intersects_per_tile,
             interpolate_pose=True, clamp=True,
             white_background=bool(cfg.data.white_background),
-            bf16_composite=bool(cfg.render.get("bf16_composite", True)))
+            bf16_composite=bool(cfg.render.get("bf16_composite", True)),
+            recall_target=float(cfg.render.get("eval_recall_target", 0.85)))
         return out
     return eval_render
 
