@@ -32,8 +32,10 @@ def build_scene_meta(info: SceneInfo, fourier_scale: float = 1.0) -> SceneMeta:
     obj_meta = info.metadata["obj_meta"]
     start = info.metadata.get("start_frame", 0)
     ranges = np.zeros((A, 2), np.float32)
+    bboxes = np.ones((A, 3), np.float32)
     for o in obj_meta:
         ranges[o.id] = (o.start_frame, o.end_frame)
+        bboxes[o.id] = (o.length, o.width, o.height)
 
     return SceneMeta(
         track_trans=jnp.asarray(tr[..., :3], jnp.float32),
@@ -41,6 +43,7 @@ def build_scene_meta(info: SceneInfo, fourier_scale: float = 1.0) -> SceneMeta:
         track_valid=jnp.asarray(tr[..., 7] > 0),
         timestamps=jnp.asarray(ts, jnp.float32),
         actor_frame_range=jnp.asarray(ranges),
+        actor_bbox=jnp.asarray(bboxes),
         fourier_scale=float(fourier_scale),
     )
 

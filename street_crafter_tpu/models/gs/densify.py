@@ -68,6 +68,8 @@ def densify_and_prune(
     prune_big_points: bool = False,
     percent_big_ws: float = 0.1,
     max_screen_size: float = 0.0,
+    bbox: jax.Array | None = None,   # [3] (l, w, h): prune outside (actors,
+    # gaussian_model_actor.py:201-272, canonical-frame box test)
 ) -> tuple[GaussianPool, GaussianAdamState, DensifyState, DensifyInfo]:
     cap = pool.capacity
     grads = state.grad_accum / jnp.maximum(state.denom, 1.0)
@@ -133,6 +135,9 @@ def densify_and_prune(
         prune |= new_valid & (scale_max_new > extent * percent_big_ws)
         if max_screen_size > 0:
             prune |= new_valid & (state.max_radii2d > max_screen_size) & ~slot_reset
+    if bbox is not None:
+        outside = jnp.any(jnp.abs(updated["xyz"]) > bbox[None] / 2.0, axis=-1)
+        prune |= new_valid & outside
     new_valid &= ~prune
 
     new_pool = GaussianPool(

@@ -59,6 +59,7 @@ class SceneMeta:
     track_valid: jax.Array     # [C, F, A] bool
     timestamps: jax.Array      # [C, F] normalized per-camera timestamps
     actor_frame_range: jax.Array  # [A, 2] (start, end) frame of each actor
+    actor_bbox: jax.Array | None = None  # [A, 3] (length, width, height)
     fourier_scale: float = dataclasses.field(default=1.0, metadata=dict(static=True))
 
     @property

@@ -172,8 +172,9 @@ class GSTrainer:
             # -- densification schedule (train.py:281-310) -------------------
             if (o.densify_from_iter <= iteration <= o.densify_until_iter
                     and iteration % o.densification_interval == 0):
-                self.state, _ = self._densify(self.state, self.next_key(),
-                                              float(scene.extent))
+                self.state, _ = self._densify(
+                    self.state, self.next_key(), float(scene.extent),
+                    scene.meta.actor_bbox)
             if (iteration % o.opacity_reset_interval == 0
                     and iteration <= o.densify_until_iter):
                 self.state = reset_opacity_step(self.state)

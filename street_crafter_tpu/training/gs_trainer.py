@@ -278,7 +278,9 @@ def make_densify_step(cfg: Config) -> Callable:
     o = cfg.optim
 
     def densify_step(state: GSTrainState, key: jax.Array,
-                     extent: float) -> tuple[GSTrainState, dict]:
+                     extent: float,
+                     actor_bbox: jax.Array | None = None
+                     ) -> tuple[GSTrainState, dict]:
         params = state.params
         new = state
         info = {}
@@ -300,15 +302,20 @@ def make_densify_step(cfg: Config) -> Callable:
             A = params.actors.xyz.shape[0]
             keys = jax.random.split(ka, A)
 
-            def dp(pool, adam, ds, k):
+            def dp(pool, adam, ds, k, bbox):
                 return densify_and_prune(
                     pool, adam, ds, k,
                     grad_threshold=o.densify_grad_threshold,
                     percent_dense=o.percent_dense, extent=extent,
-                    min_opacity=o.min_opacity)
+                    min_opacity=o.min_opacity, bbox=bbox)
 
+            if actor_bbox is None:
+                actor_bbox_ = jnp.full((A, 3), jnp.inf)
+            else:
+                actor_bbox_ = actor_bbox
             pool, adam, ds, inf = jax.vmap(dp)(
-                params.actors, state.adam_actors, state.dstate_actors, keys)
+                params.actors, state.adam_actors, state.dstate_actors, keys,
+                actor_bbox_)
             new = dataclasses.replace(
                 new, params=dataclasses.replace(new.params, actors=pool),
                 adam_actors=adam, dstate_actors=ds)
