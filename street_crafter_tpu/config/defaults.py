@@ -203,6 +203,7 @@ def default_config() -> Config:
             "probs": [1.0],          # reference mix: [0.9, 0.1] waymo/pandaset
             "postfix": "",
             "batch_size": 1,         # per-step clips; sharded over data axis
+            "accumulate": 1,         # gradient accumulation micro-steps
             "samples_per_epoch": 8000,
             "epochs": 3,
             "lr": 1.0e-5,

@@ -96,7 +96,8 @@ def finetune(cfg: Config) -> None:
 
     step_fn = make_vdm_train_step(
         engine, lr=v.lr, grad_clip=v.grad_clip, ema_decay=v.ema_decay,
-        guidance_dropout=v.guidance_dropout, rules=rules)
+        guidance_dropout=v.guidance_dropout, rules=rules,
+        accum_steps=int(v.get("accumulate", 1)))
     encode_fn = make_encode_fn(
         engine, {"vae": params["vae"], "clip": params["clip"]})
 

@@ -70,6 +70,7 @@ def make_vdm_train_step(
     ema_decay: float = 0.9999,
     guidance_dropout: float = 0.15,
     rules: ShardingRules | None = None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted fine-tune step.
 
@@ -113,8 +114,57 @@ def make_vdm_train_step(
             return losses.mean(), jax.tree_util.tree_map(
                 lambda s: s.mean(), scalars)
 
-        (loss, scalars), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.unet_params)
+        if accum_steps > 1:
+            # gradient accumulation (Lightning accumulate_grad_batches,
+            # video_diffusion/train.py:860-866): micro-batch the clip axis
+            # with a rematerialized scan, mean the gradients
+            def micro(carry, mb):
+                g_acc, s_acc = carry
+                (l, s), g = jax.value_and_grad(
+                    lambda p: _loss_on(p, mb), has_aux=True)(
+                    state.unet_params)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                s_acc = jax.tree_util.tree_map(jnp.add, s_acc, s)
+                return (g_acc, s_acc), None
+
+            def _loss_on(unet_params, mb):
+                params = {"unet": unet_params, **state.frozen_params}
+
+                def per_clip(lat, cond_c, guide, k, gs):
+                    dfn = engine.training_denoise_fn(params, cond_c, guide,
+                                                     gs)
+                    return diffusion_loss(
+                        dfn, k, lat, num_frames=T,
+                        offset_noise_level=0.02, use_additional_loss=True)
+
+                losses, scalars_ = jax.vmap(per_clip)(
+                    mb["latents"], mb["cond"], mb["guidance_latents"],
+                    mb["keys"], mb["gscale"])
+                return losses.mean(), jax.tree_util.tree_map(
+                    lambda s: s.mean(), scalars_)
+
+            full = dict(batch)
+            full["keys"] = clip_keys
+            full["gscale"] = gscale
+            micro_batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]), full)
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like,
+                                            state.unet_params)
+            sample_scalars = jax.eval_shape(
+                lambda: _loss_on(state.unet_params,
+                                 jax.tree_util.tree_map(lambda x: x[0],
+                                                        micro_batches))[1])
+            zero_s = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), sample_scalars)
+            (grads, scalars), _ = jax.lax.scan(
+                jax.checkpoint(micro), (zero_g, zero_s), micro_batches)
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            scalars = jax.tree_util.tree_map(lambda s: s / accum_steps,
+                                             scalars)
+        else:
+            (loss, scalars), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.unet_params)
         updates, new_opt = tx.update(grads, state.opt_state, state.unet_params)
         new_params = optax.apply_updates(state.unet_params, updates)
         new_ema = jax.tree_util.tree_map(
