@@ -42,6 +42,10 @@ def default_config() -> Config:
             "skip_train": False, "skip_test": False, "skip_novel": False,
             "eval_train": False, "eval_test": True, "eval_novel": False,
             "visualize": False,
+            # opt-in: evaluate with the cheap inference path (recall 0.85 +
+            # bf16 compositing). Default False: reported PSNR uses training
+            # fidelity (recall_target, f32).
+            "fast": False,
         },
 
         "train": {
@@ -81,6 +85,13 @@ def default_config() -> Config:
             "densify_from_iter": 500,
             "densify_until_iter": 15000,
             "densify_grad_threshold": 0.0002,
+            # per-pool threshold overrides (gaussian_model_bkgd.py:101,
+            # gaussian_model_actor.py:203); None -> densify_grad_threshold
+            "densify_grad_threshold_bkgd": None,
+            "densify_grad_threshold_obj": None,
+            # reference semantics (gaussian_model_bkgd.py:102-105): True
+            # selects the SIGNED-grad column, False (default) the gsplat
+            # absgrad column — the flag name is inherited as-is
             "densify_grad_abs_bkgd": False,
             "densify_grad_abs_obj": False,
             "min_opacity": 0.005,
@@ -95,6 +106,8 @@ def default_config() -> Config:
             "lambda_l1": 1.0,
             "lambda_lpips": 0.01,
             "lpips_weights": "",   # npz from ops.lpips.convert_lpips_torch
+            "allow_missing_lpips": False,  # waive the hard-fail when lpips
+            # lambdas are >0 but weights are unavailable
             "lambda_dssim": 0.2,
             "lambda_sky": 0.0,
             "lambda_sky_scale": [],
@@ -150,8 +163,10 @@ def default_config() -> Config:
 
         "render": {
             "antialiasing": True,
-            "bf16_composite": True,   # eval/inference rendering only
-            # (training always composites in f32 for gradient fidelity)
+            "bf16_composite": True,   # inference rendering only
+            # (training and eval composite in f32 for fidelity)
+            "recall_target": 0.95,       # training/eval approx_min_k recall
+            "eval_recall_target": 0.85,  # fast-path (videos/bench) recall
             "scaling_modifier": 1.0,
             "fps": 10,
             "save_video": True,

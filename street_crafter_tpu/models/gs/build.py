@@ -60,16 +60,21 @@ def _grid_init_points(bbox: np.ndarray, points_dim: int = 20,
 
 
 def build_actor_pools(info: SceneInfo, ply_paths: dict[str, str],
-                      cfg: Config) -> GaussianPool | None:
-    """Stacked per-actor pool [A, cap_obj, ...] in canonical frames."""
+                      cfg: Config
+                      ) -> tuple[GaussianPool | None, np.ndarray | None]:
+    """Stacked per-actor pool [A, cap_obj, ...] in canonical frames, plus a
+    per-actor random-initialization flag (grid init when <2000 LiDAR points,
+    gaussian_model_actor.py:78-107 — random-init actors densify on the
+    absgrad column regardless of densify_grad_abs_obj, :201-210)."""
     obj_meta = info.metadata["obj_meta"]
     if not obj_meta:
-        return None
+        return None, None
     cap = int(cfg.optim.capacity_obj)
     sh_degree = cfg.model.gaussian.sh_degree
     fourier = cfg.model.gaussian.fourier_dim
 
     pools = []
+    random_init = []
     for obj in sorted(obj_meta, key=lambda o: o.id):
         key = f"obj_{obj.object_id:03d}"
         pts = rgb = None
@@ -77,6 +82,7 @@ def build_actor_pools(info: SceneInfo, ply_paths: dict[str, str],
             pc = read_ply(ply_paths[key])
             if len(pc.points) >= 2000:
                 pts, rgb = pc.points, pc.colors
+        random_init.append(pts is None)
         if pts is None:
             bbox = np.array([obj.length, obj.width, obj.height], np.float32)
             pts, rgb = _grid_init_points(bbox, seed=obj.id)
@@ -86,7 +92,8 @@ def build_actor_pools(info: SceneInfo, ply_paths: dict[str, str],
             capacity=cap, sh_degree=sh_degree, fourier_dim=fourier))
 
     import jax
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pools)
+    return (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pools),
+            np.asarray(random_init, bool))
 
 
 def build_scene_params(info: SceneInfo, ply_paths: dict[str, str],
@@ -105,7 +112,11 @@ def build_scene_params(info: SceneInfo, ply_paths: dict[str, str],
 
     actors = None
     if cfg.model.nsg.include_obj:
-        actors = build_actor_pools(info, ply_paths, cfg)
+        actors, actor_random_init = build_actor_pools(info, ply_paths, cfg)
+        if actor_random_init is not None:
+            import dataclasses as _dc
+            meta = _dc.replace(meta, actor_random_init=jnp.asarray(
+                actor_random_init))
 
     sky = None
     sky_cubemap = None

@@ -25,24 +25,41 @@ from .params import GaussianPool
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DensifyState:
-    grad_accum: jax.Array   # [cap] accumulated viewspace-grad norms
-    denom: jax.Array        # [cap] number of accumulations
-    max_radii2d: jax.Array  # [cap] running max screen radius (normalized)
+    # Two accumulator columns, mirroring the reference's
+    # xyz_gradient_accum[:, 0:2] (street_gaussian_model.py:504-518):
+    # column 0 <-> grad_abs_accum = ||per-pixel |dL/d means2d| sum|| (gsplat
+    # absgrad channel), column 1 <-> grad_accum = ||pixel-summed signed
+    # gradient||.
+    grad_accum: jax.Array      # [cap] signed-gradient norms
+    grad_abs_accum: jax.Array  # [cap] absgrad norms
+    denom: jax.Array           # [cap] number of accumulations
+    max_radii2d: jax.Array     # [cap] running max screen radius (normalized)
 
 
 def init_densify_state(capacity: int) -> DensifyState:
     z = jnp.zeros((capacity,), jnp.float32)
-    return DensifyState(grad_accum=z, denom=z, max_radii2d=z)
+    return DensifyState(grad_accum=z, grad_abs_accum=z, denom=z,
+                        max_radii2d=z)
 
 
 def accumulate_stats(state: DensifyState, viewspace_grad: jax.Array,
-                     visible: jax.Array, radii: jax.Array) -> DensifyState:
-    """add_densification_stats analog (gaussian_model.py:553-559): accumulate
-    ||dL/d means2d|| for visible gaussians and track max screen radius."""
+                     visible: jax.Array, radii: jax.Array,
+                     viewspace_absgrad: jax.Array | None = None
+                     ) -> DensifyState:
+    """add_densification_stats analog (street_gaussian_model.py:504-518):
+    accumulate ||dL/d means2d|| (and the absgrad norm when provided) for
+    visible gaussians and track max screen radius. Gradients arrive already
+    scaled by 0.5*[W, H] (the reference's gsplat pixel-unit -> NDC-threshold
+    conversion, street_gaussian_model.py:508)."""
     norm = jnp.linalg.norm(viewspace_grad[:, :2], axis=-1)
     vis = visible.astype(jnp.float32)
+    abs_accum = state.grad_abs_accum
+    if viewspace_absgrad is not None:
+        abs_accum = abs_accum + jnp.linalg.norm(
+            viewspace_absgrad[:, :2], axis=-1) * vis
     return DensifyState(
         grad_accum=state.grad_accum + norm * vis,
+        grad_abs_accum=abs_accum,
         denom=state.denom + vis,
         max_radii2d=jnp.maximum(state.max_radii2d,
                                 jnp.where(visible, radii, 0.0)),
@@ -70,9 +87,16 @@ def densify_and_prune(
     max_screen_size: float = 0.0,
     bbox: jax.Array | None = None,   # [3] (l, w, h): prune outside (actors,
     # gaussian_model_actor.py:201-272, canonical-frame box test)
+    use_abs: bool | jax.Array = True,  # densify on the absgrad column
+    # (gsplat-default behavior; gaussian_model_bkgd.py:102-105 — note the
+    # reference's densify_grad_abs_* flag TRUE selects column 1, the SIGNED
+    # norm, so use_abs = not densify_grad_abs_*). May be a traced bool
+    # (per-actor under vmap: random-init actors always use abs,
+    # gaussian_model_actor.py:201-210).
 ) -> tuple[GaussianPool, GaussianAdamState, DensifyState, DensifyInfo]:
     cap = pool.capacity
-    grads = state.grad_accum / jnp.maximum(state.denom, 1.0)
+    accum = jnp.where(use_abs, state.grad_abs_accum, state.grad_accum)
+    grads = accum / jnp.maximum(state.denom, 1.0)
     grads = jnp.where(jnp.isnan(grads), 0.0, grads)
 
     scale_max = jnp.max(pool.get_scaling(), axis=-1)

@@ -40,10 +40,12 @@ def render_flat(
     antialiasing: bool = True,
     scaling_modifier: float = 1.0,
     viewspace_zero: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
     near_plane: float = 0.01,
     far_plane: float = 1e8,
     bf16_composite: bool = False,
     recall_target: float = 0.95,
+    with_stats: bool = False,
 ) -> dict[str, jax.Array]:
     """Render a flat gaussian soup. Returns rgb [H,W,3], acc, depth, radii,
     visibility."""
@@ -71,20 +73,23 @@ def render_flat(
 
     out = rasterize_pixels(
         u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
-        proj.depths, proj.valid, proj.radii,
+        proj.depths, proj.valid, proj.radii, absgrad_sink=absgrad_sink,
         width=width, height=height, tile_size=tile_size,
         max_per_tile=max_per_tile, bf16_composite=bf16_composite,
-        recall_target=recall_target)
+        recall_target=recall_target, with_stats=with_stats)
 
     rgb = out.colors[..., :3]
     depth = out.colors[..., 3] / jnp.maximum(out.alpha, 1e-10)
-    return {
+    result = {
         "rgb": rgb,
         "acc": out.alpha,
         "depth": depth,
         "radii": proj.radii / float(max(height, width)),
         "visibility": proj.valid & (proj.radii > 0),
     }
+    if out.stats is not None:
+        result["raster_stats"] = out.stats
+    return result
 
 
 def render_scene(
@@ -107,10 +112,12 @@ def render_scene(
     use_track_residual: bool = True,
     flip_mask: jax.Array | None = None,
     viewspace_zero: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
     clamp: bool = False,
     white_background: bool = False,
     bf16_composite: bool = False,
     recall_target: float = 0.95,
+    with_stats: bool = False,
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -138,7 +145,9 @@ def render_scene(
         flat, w2c, K, cam_center, camera.width, camera.height,
         sh_degree=sh_degree, tile_size=tile_size, max_per_tile=max_per_tile,
         antialiasing=antialiasing, viewspace_zero=viewspace_zero,
-        bf16_composite=bf16_composite, recall_target=recall_target)
+        absgrad_sink=absgrad_sink,
+        bf16_composite=bf16_composite, recall_target=recall_target,
+        with_stats=with_stats)
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(

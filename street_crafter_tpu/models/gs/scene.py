@@ -60,6 +60,8 @@ class SceneMeta:
     timestamps: jax.Array      # [C, F] normalized per-camera timestamps
     actor_frame_range: jax.Array  # [A, 2] (start, end) frame of each actor
     actor_bbox: jax.Array | None = None  # [A, 3] (length, width, height)
+    actor_random_init: jax.Array | None = None  # [A] grid-init flag
+    # (<2000 LiDAR pts; forces absgrad densification, actor :201-210)
     fourier_scale: float = dataclasses.field(default=1.0, metadata=dict(static=True))
 
     @property

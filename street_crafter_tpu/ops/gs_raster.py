@@ -41,9 +41,43 @@ ALPHA_CLAMP = 0.999
 ALPHA_MIN = 1.0 / 255.0
 
 
+@jax.custom_vjp
+def _abs_sink_hook(x, sink):
+    """Identity on ``x`` whose backward additionally reports the PER-PIXEL
+    absolute gradient sum as the 'gradient' of ``sink``.
+
+    This is the TPU analog of gsplat's ``absgrad=True`` channel
+    (street_gaussian_renderer.py:183,279): the CUDA kernel atomically adds
+    |dL/d means2d| per pixel into a side buffer during the rasterize
+    backward; here the abs-sum rides JAX autodiff as the cotangent of a
+    dummy input, and the candidate gathers scatter-add it back to [N].
+    ``x`` is the per-(tile, candidate, pixel) offset (dx or dy), ``sink``
+    the per-(tile, candidate) zero placeholder.
+    """
+    del sink
+    return x
+
+
+def _abs_sink_fwd(x, sink):
+    del sink
+    return x, None
+
+
+def _abs_sink_bwd(_, g):
+    return g, jnp.sum(jnp.abs(g), axis=-1)
+
+
+_abs_sink_hook.defvjp(_abs_sink_fwd, _abs_sink_bwd)
+
+
 class RasterOutput(NamedTuple):
     colors: jax.Array  # [H, W, C]
     alpha: jax.Array   # [H, W]
+    # occupancy/overflow counters (with_stats=True only; None otherwise).
+    # Guards against silent capacity drops on dense post-densification
+    # scenes: the reference's dynamic worklists never drop, ours clamp at
+    # max_per_coarse / max_per_tile.
+    stats: dict | None = None
 
 
 def _sort_binning(x0, x1, y0, y1, depth_key, TWc, THc, cts, kc):
@@ -98,7 +132,8 @@ def _sort_binning(x0, x1, y0, y1, depth_key, TWc, THc, cts, kc):
     jax.jit,
     static_argnames=("width", "height", "tile_size", "max_per_tile",
                      "coarse_factor", "max_per_coarse", "exact_select",
-                     "select_method", "bf16_composite", "recall_target"))
+                     "select_method", "bf16_composite", "recall_target",
+                     "with_stats"))
 def rasterize_pixels(
     u: jax.Array,          # [N] pixel x (column layout: see Projection)
     v: jax.Array,          # [N] pixel y
@@ -110,8 +145,10 @@ def rasterize_pixels(
     depths: jax.Array,     # [N]
     valid: jax.Array,      # [N] bool
     radii: jax.Array,      # [N] pixel radius
-    width: int,
-    height: int,
+    absgrad_sink: jax.Array | None = None,  # [N, 2] zeros; its cotangent
+    # under jax.grad is the per-pixel |dL/d(u,v)| sum (gsplat absgrad)
+    width: int = 0,
+    height: int = 0,
     tile_size: int = 16,
     max_per_tile: int = 512,
     coarse_factor: int = 8,
@@ -122,6 +159,8 @@ def rasterize_pixels(
     # products in bf16 shift gradients)
     select_method: str = "approx",  # "approx" | "exact" | "sort"
     recall_target: float = 0.95,
+    with_stats: bool = False,       # report capacity-overflow counters
+
     # approx_min_k has internal configuration cliffs: at [117, 200k] keys,
     # r=0.95/kc=4096 costs ~64 ms while r<=0.88 or kc<=3072 costs ~6-10 ms.
     # Training defaults to 0.95 (gradient coverage); eval/bench pass 0.85
@@ -151,9 +190,22 @@ def rasterize_pixels(
     # ---- phase 1: coarse binning, vectorized over ALL coarse tiles --------
     if exact_select:
         select_method = "exact"
+    counts_c = None
     if select_method == "sort":
         idxc, cand_depth_all = _sort_binning(
             x0, x1, y0, y1, depth_key, TWc, THc, cts, kc)
+        if with_stats:
+            # recompute intersection counts (duplication-to-4-tiles already
+            # clamps bboxes to one tile span; this is the exact count)
+            tyc, txc = jnp.meshgrid(jnp.arange(THc, dtype=jnp.float32),
+                                    jnp.arange(TWc, dtype=jnp.float32),
+                                    indexing="ij")
+            sx0 = (txc.reshape(-1) * cts)[:, None]
+            sy0 = (tyc.reshape(-1) * cts)[:, None]
+            sinter = ((x0[None, :] < sx0 + cts) & (x1[None, :] > sx0)
+                      & (y0[None, :] < sy0 + cts) & (y1[None, :] > sy0)
+                      & (depth_key[None, :] < _INF))
+            counts_c = sinter.sum(axis=1)
     else:
         tyc, txc = jnp.meshgrid(jnp.arange(THc, dtype=jnp.float32),
                                 jnp.arange(TWc, dtype=jnp.float32),
@@ -163,6 +215,8 @@ def rasterize_pixels(
         inter = ((x0[None, :] < cx0 + cts) & (x1[None, :] > cx0)
                  & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0))  # [Tc, N]
         key = jnp.where(inter, depth_key[None, :], _INF)
+        if with_stats:
+            counts_c = (key < _INF).sum(axis=1)
         if select_method == "exact":
             neg_top, idxc = jax.lax.top_k(-key, kc)
             cand_depth_all = -neg_top
@@ -174,14 +228,50 @@ def rasterize_pixels(
                 key, kc, recall_target=recall_target,
                 aggregate_to_topk=True)
 
-    # one packed gather: [u, v, conic(3), opacity, color(C), x0, x1, y0, y1]
+    # one packed gather:
+    # [u, v, conic(3), opacity, color(C), (sink_u, sink_v)?, x0, x1, y0, y1]
     attrs = jnp.stack(
         [u, v, conic_a, conic_b, conic_c, opacities], -1)
-    attrs = jnp.concatenate([
-        attrs, colors, jnp.stack([x0, x1, y0, y1], -1)], -1)
+    parts = [attrs, colors]
+    if absgrad_sink is not None:
+        parts.append(absgrad_sink)   # rides the gathers; its grad rides the
+        # scatter-adds back to [N, 2]
+    parts.append(jnp.stack([x0, x1, y0, y1], -1))
+    attrs = jnp.concatenate(parts, -1)
     A = attrs.shape[-1]
     cand_all = attrs[idxc]                                  # [Tc, kc, A]
     cand_depth_all = jnp.where(cand_depth_all < _INF, cand_depth_all, _INF)
+
+    stats = None
+    if with_stats:
+        # fine-tile occupancy among surviving coarse candidates, one
+        # vectorized pass over [Tc, CF*CF, kc] (a stats-only pass; the hot
+        # path is untouched). True fine drops additionally include whatever
+        # the coarse stage already dropped — report both.
+        fyy, fxx = jnp.meshgrid(jnp.arange(CF, dtype=jnp.float32),
+                                jnp.arange(CF, dtype=jnp.float32),
+                                indexing="ij")
+        tyc2, txc2 = jnp.meshgrid(jnp.arange(THc, dtype=jnp.float32),
+                                  jnp.arange(TWc, dtype=jnp.float32),
+                                  indexing="ij")
+        ftx0 = (txc2.reshape(-1, 1) * cts
+                + fxx.reshape(1, -1) * ts)[..., None]   # [Tc, CF*CF, 1]
+        fty0 = (tyc2.reshape(-1, 1) * cts
+                + fyy.reshape(1, -1) * ts)[..., None]
+        cb = cand_all[..., A - 4:]                       # [Tc, kc, 4]
+        alive = cand_depth_all < _INF                    # [Tc, kc]
+        fin = ((cb[:, None, :, 0] < ftx0 + ts) & (cb[:, None, :, 1] > ftx0)
+               & (cb[:, None, :, 2] < fty0 + ts) & (cb[:, None, :, 3] > fty0)
+               & alive[:, None, :])
+        counts_f = fin.sum(-1)                           # [Tc, CF*CF]
+        stats = {
+            "coarse_max": counts_c.max(),
+            "coarse_overflow_tiles": (counts_c > kc).sum(),
+            "coarse_dropped": jnp.maximum(counts_c - kc, 0).sum(),
+            "fine_max": counts_f.max(),
+            "fine_overflow_tiles": (counts_f > kf).sum(),
+            "fine_dropped": jnp.maximum(counts_f - kf, 0).sum(),
+        }
 
     # reshape to coarse rows for the fine-stage scan
     cand_rows = cand_all.reshape(THc, TWc, kc, A)
@@ -237,6 +327,9 @@ def rasterize_pixels(
 
             dx = gx[:, :, None, :] - m2[..., 0:1]        # [TWc, CF, kf, P]
             dy = gy[:, :, None, :] - m2[..., 1:2]
+            if absgrad_sink is not None:
+                dx = _abs_sink_hook(dx, sel[..., 6 + C])
+                dy = _abs_sink_hook(dy, sel[..., 7 + C])
             sigma = (0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy)
                      + con[..., 1:2] * dx * dy)
             alpha = opa[..., None] * jnp.exp(-jnp.maximum(sigma, 0.0))
@@ -276,4 +369,4 @@ def rasterize_pixels(
         (jnp.arange(THc, dtype=jnp.float32), cand_rows, cdep_rows))
     img = blocks.reshape(THc * cts, TWc * cts, C)[:height, :width]
     acc = blocks_a.reshape(THc * cts, TWc * cts)[:height, :width]
-    return RasterOutput(colors=img, alpha=acc)
+    return RasterOutput(colors=img, alpha=acc, stats=stats)

@@ -37,7 +37,13 @@ def psnr(img: jax.Array, gt: jax.Array) -> jax.Array:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
 
 
-def make_eval_render(cfg: Config, meta, sh_degree: int):
+def make_eval_render(cfg: Config, meta, sh_degree: int,
+                     with_stats: bool = False):
+    """Eval renders at TRAINING fidelity by default (recall 0.95, f32
+    compositing) so reported PSNR measures the model, not the fast path.
+    The cheap inference path (recall 0.85 + bf16, used for trajectory videos
+    and bench) is opt-in via ``cfg.eval.fast``."""
+    fast = bool(cfg.eval.get("fast", False))
     @jax.jit
     def eval_render(params, camera, batch):
         out = render_scene(
@@ -49,8 +55,11 @@ def make_eval_render(cfg: Config, meta, sh_degree: int):
             max_per_tile=cfg.render.max_intersects_per_tile,
             interpolate_pose=True, clamp=True,
             white_background=bool(cfg.data.white_background),
-            bf16_composite=bool(cfg.render.get("bf16_composite", True)),
-            recall_target=float(cfg.render.get("eval_recall_target", 0.85)))
+            bf16_composite=fast and bool(cfg.render.get("bf16_composite",
+                                                        True)),
+            recall_target=float(cfg.render.get("eval_recall_target", 0.85))
+            if fast else float(cfg.render.get("recall_target", 0.95)),
+            with_stats=with_stats)
         return out
     return eval_render
 
@@ -133,14 +142,24 @@ class GSTrainer:
         ema_loss = None
         for iteration in range(self.start_iter, cfg.train.iterations + 1):
             profiler.step(iteration)
-            # -- diffusion distillation sampling (train.py:123-138) ---------
-            if diffusion_hook is not None and iteration in sample_iters:
+            # -- diffusion distillation sampling -----------------------------
+            # Scale is the reference's min/max linear interpolation over the
+            # sample window (train.py:106-109,128: scale = (min_scale -
+            # max_scale)*(it - min_it)/(max_it - min_it) + max_scale), NOT a
+            # per-iteration list lookup. ``restarting``: a resume landing just
+            # after a sample iteration re-runs the sampling (train.py:121-125)
+            # since novel-view images are not checkpointed.
+            restarting = (iteration == self.start_iter
+                          and (iteration - 1) in sample_iters)
+            if diffusion_hook is not None and (
+                    iteration in sample_iters or restarting):
+                eff_it = iteration - int(restarting)
                 lo, hi = min(sample_iters), max(sample_iters)
                 smin, smax = min(scales), max(scales)
-                scale = (smin - smax) * (iteration - lo) / max(hi - lo, 1) \
+                scale = (smin - smax) * (eff_it - lo) / max(hi - lo, 1) \
                     + smax
                 diffusion_hook(self, iteration, scale,
-                               iteration >= cfg.diffusion.masked_guidance_iter)
+                               eff_it >= cfg.diffusion.masked_guidance_iter)
                 novel_pool = [
                     c for c in scene.info.novel_view_cameras
                     if not c.metadata.get("skip_camera", False)
@@ -174,7 +193,7 @@ class GSTrainer:
                     and iteration % o.densification_interval == 0):
                 self.state, _ = self._densify(
                     self.state, self.next_key(), float(scene.extent),
-                    scene.meta.actor_bbox)
+                    scene.meta.actor_bbox, scene.meta.actor_random_init)
             if (iteration % o.opacity_reset_interval == 0
                     and iteration <= o.densify_until_iter):
                 self.state = reset_opacity_step(self.state)
@@ -244,7 +263,16 @@ class GSTrainer:
                                               - batch["gt_image"]))))
         if not psnrs:
             return {}
-        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+        report = {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+        # raster occupancy counters on one view: detect silent capacity drops
+        # (fixed-capacity binning clamps at max_per_coarse/max_per_tile)
+        stats_render = make_eval_render(self.cfg, scene.meta, sh,
+                                        with_stats=True)
+        info, cam = scene.info.test_cameras[0], scene.test_cameras[0]
+        out = stats_render(self.state.params, cam, scene.batch_for(info))
+        for k in ("coarse_dropped", "fine_dropped", "fine_max"):
+            report[f"raster_{k}"] = float(out["raster_stats"][k])
+        return report
 
 
 def make_diffusion_hook(cfg: Config) -> DiffusionHook:
@@ -314,7 +342,18 @@ def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
         from ..ops.lpips import load_lpips
         lpips_fn = load_lpips(cfg.optim.get("lpips_weights") or None)
         if lpips_fn is None:
-            print("WARNING: no LPIPS weights; lpips terms disabled")
+            # A silently-dropped LPIPS term would quietly optimize a
+            # different objective than the configured one; refuse unless the
+            # user explicitly waives it.
+            if not cfg.optim.get("allow_missing_lpips", False):
+                raise RuntimeError(
+                    "lambda_lpips/lambda_novel_lpips > 0 but no LPIPS "
+                    "weights available (optim.lpips_weights unset or "
+                    "missing). Convert weights with ops.lpips."
+                    "convert_lpips_torch, set the lambdas to 0, or set "
+                    "optim.allow_missing_lpips=True to waive.")
+            print("WARNING: no LPIPS weights; lpips terms disabled "
+                  "(allow_missing_lpips=True)")
     trainer = GSTrainer(cfg, scene, lpips_fn=lpips_fn)
     trainer.run(diffusion_hook=diffusion_hook)
     return trainer

@@ -164,7 +164,7 @@ def make_train_step(
         if flip_prob > 0 and A > 0:
             flip_mask = jax.random.uniform(kf, (A, cap_o)) < flip_prob
 
-        def loss_fn(p: SceneParams, vz: jax.Array):
+        def loss_fn(p: SceneParams, vz: jax.Array, sink: jax.Array):
             out = render_scene(
                 p, meta, camera,
                 frame_idx=batch["frame_idx"], frame=batch["frame"],
@@ -172,7 +172,7 @@ def make_train_step(
                 image_idx=batch.get("image_idx", 0),
                 sh_degree=sh_degree, tile_size=tile_size,
                 max_per_tile=max_per_tile, flip_mask=flip_mask,
-                viewspace_zero=vz,
+                viewspace_zero=vz, absgrad_sink=sink,
                 white_background=bool(cfg.data.white_background))
             acc_obj = None
             if with_obj_acc and params.actors is not None:
@@ -198,8 +198,16 @@ def make_train_step(
         vz0 = jnp.zeros((n_flat, 2), jnp.float32)
         # allow_int: SceneParams carries bool validity masks (their grads are
         # float0 and unused)
-        (_, (scalars, out)), (gparams, gvz) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(params, vz0)
+        (_, (scalars, out)), (gparams, gvz, gabs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True, allow_int=True)(
+                params, vz0, vz0)
+        # gsplat pixel-unit screen grads -> the reference's NDC-comparable
+        # scale: x 0.5*[W, H] (street_gaussian_model.py:508), so the
+        # densify_grad_threshold values (0.0002/0.0006) carry over verbatim.
+        grad_scale = 0.5 * jnp.array([camera.width, camera.height],
+                                     jnp.float32)
+        gvz = gvz * grad_scale
+        gabs = gabs * grad_scale
 
         step = state.step
         lrs = pool_lrs(cfg, step, spatial_lr_scale)
@@ -218,14 +226,15 @@ def make_train_step(
                 rotation=pd["rotation"], opacity=pd["opacity"])
             vis = out["visibility"][:nb]
             ds2 = accumulate_stats(state.dstate_bkgd, gvz[:nb], vis,
-                                   out["radii"][:nb])
+                                   out["radii"][:nb],
+                                   viewspace_absgrad=gabs[:nb])
             new_params = dataclasses.replace(new_params, bkgd=new_bkgd)
             new_state = dataclasses.replace(new_state, adam_bkgd=adam2,
                                             dstate_bkgd=ds2)
 
         # -- actor pools (vmapped) ----------------------------------------
         if params.actors is not None:
-            def upd(pool, gpool, adam, dstate, gv, vis, rad):
+            def upd(pool, gpool, adam, dstate, gv, ga, vis, rad):
                 pd, adam2 = adam_update(pool.trainable_dict(),
                                         gpool.trainable_dict(), adam, lrs,
                                         update_mask=pool.valid)
@@ -233,15 +242,17 @@ def make_train_step(
                     xyz=pd["xyz"], features_dc=pd["f_dc"],
                     features_rest=pd["f_rest"], scaling=pd["scaling"],
                     rotation=pd["rotation"], opacity=pd["opacity"])
-                ds2 = accumulate_stats(dstate, gv, vis, rad)
+                ds2 = accumulate_stats(dstate, gv, vis, rad,
+                                       viewspace_absgrad=ga)
                 return new_pool, adam2, ds2
 
             gv_a = gvz[nb:].reshape(A, cap_o, 2)
+            ga_a = gabs[nb:].reshape(A, cap_o, 2)
             vis_a = out["visibility"][nb:n_flat].reshape(A, cap_o)
             rad_a = out["radii"][nb:n_flat].reshape(A, cap_o)
             new_actors, adam_a2, ds_a2 = jax.vmap(upd)(
                 params.actors, gparams.actors, state.adam_actors,
-                state.dstate_actors, gv_a, vis_a, rad_a)
+                state.dstate_actors, gv_a, ga_a, vis_a, rad_a)
             new_params = dataclasses.replace(new_params, actors=new_actors)
             new_state = dataclasses.replace(new_state, adam_actors=adam_a2,
                                             dstate_actors=ds_a2)
@@ -276,10 +287,20 @@ def make_train_step(
 
 def make_densify_step(cfg: Config) -> Callable:
     o = cfg.optim
+    # Reference flag semantics (gaussian_model_bkgd.py:102-105): with gsplat
+    # absgrad always on, densify_grad_abs_*=True selects the SIGNED-grad
+    # column, False (default) the absgrad column.
+    use_abs_bkgd = not bool(o.get("densify_grad_abs_bkgd", False))
+    use_abs_obj = not bool(o.get("densify_grad_abs_obj", False))
+    thresh_bkgd = float(o.get("densify_grad_threshold_bkgd") or
+                        o.densify_grad_threshold)
+    thresh_obj = float(o.get("densify_grad_threshold_obj") or
+                       o.densify_grad_threshold)
 
     def densify_step(state: GSTrainState, key: jax.Array,
                      extent: float,
-                     actor_bbox: jax.Array | None = None
+                     actor_bbox: jax.Array | None = None,
+                     actor_random_init: jax.Array | None = None
                      ) -> tuple[GSTrainState, dict]:
         params = state.params
         new = state
@@ -288,12 +309,13 @@ def make_densify_step(cfg: Config) -> Callable:
         if params.bkgd is not None:
             pool, adam, ds, inf = densify_and_prune(
                 params.bkgd, state.adam_bkgd, state.dstate_bkgd, kb,
-                grad_threshold=o.densify_grad_threshold,
+                grad_threshold=thresh_bkgd,
                 percent_dense=o.percent_dense, extent=extent,
                 min_opacity=o.min_opacity,
                 prune_big_points=bool(o.prune_big_points),
                 percent_big_ws=o.percent_big_ws,
-                max_screen_size=o.max_screen_size)
+                max_screen_size=o.max_screen_size,
+                use_abs=use_abs_bkgd)
             new = dataclasses.replace(
                 new, params=dataclasses.replace(new.params, bkgd=pool),
                 adam_bkgd=adam, dstate_bkgd=ds)
@@ -302,20 +324,29 @@ def make_densify_step(cfg: Config) -> Callable:
             A = params.actors.xyz.shape[0]
             keys = jax.random.split(ka, A)
 
-            def dp(pool, adam, ds, k, bbox):
+            def dp(pool, adam, ds, k, bbox, rand_init):
+                # random-init (grid) actors always densify on absgrad and
+                # the base threshold (gaussian_model_actor.py:201-210)
                 return densify_and_prune(
                     pool, adam, ds, k,
-                    grad_threshold=o.densify_grad_threshold,
+                    grad_threshold=jnp.where(rand_init,
+                                             o.densify_grad_threshold,
+                                             thresh_obj),
                     percent_dense=o.percent_dense, extent=extent,
-                    min_opacity=o.min_opacity, bbox=bbox)
+                    min_opacity=o.min_opacity, bbox=bbox,
+                    use_abs=rand_init | use_abs_obj)
 
             if actor_bbox is None:
                 actor_bbox_ = jnp.full((A, 3), jnp.inf)
             else:
                 actor_bbox_ = actor_bbox
+            if actor_random_init is None:
+                rand_init_ = jnp.zeros((A,), bool)
+            else:
+                rand_init_ = actor_random_init
             pool, adam, ds, inf = jax.vmap(dp)(
                 params.actors, state.adam_actors, state.dstate_actors, keys,
-                actor_bbox_)
+                actor_bbox_, rand_init_)
             new = dataclasses.replace(
                 new, params=dataclasses.replace(new.params, actors=pool),
                 adam_actors=adam, dstate_actors=ds)

@@ -32,6 +32,7 @@ def cfg(tmp_path_factory):
     c.render.novel_view.shift = [2.0]
     c.render.max_intersects_per_tile = 64
     c.model.gaussian.sh_degree = 1
+    c.optim.allow_missing_lpips = True
     c.diffusion.use_diffusion = True
     c.diffusion.tiny = True
     c.diffusion.height = 32

@@ -51,8 +51,9 @@ def test_densify_clone(rng):
     pool = pool.replace(scaling=jnp.full_like(pool.scaling, -5.0))
     adam = init_adam(pool.trainable_dict())
     cap = pool.capacity
+    g = jnp.where(jnp.arange(cap) < 4, 10.0, 0.0)
     state = DensifyState(
-        grad_accum=jnp.where(jnp.arange(cap) < 4, 10.0, 0.0),
+        grad_accum=g, grad_abs_accum=g,
         denom=jnp.ones(cap), max_radii2d=jnp.zeros(cap))
     new_pool, _, _, info = densify_and_prune(
         pool, adam, state, jax.random.PRNGKey(0),
@@ -74,8 +75,9 @@ def test_densify_split(rng):
     pool = pool.replace(scaling=jnp.full_like(pool.scaling, 1.0))
     adam = init_adam(pool.trainable_dict())
     cap = pool.capacity
+    g = jnp.where(jnp.arange(cap) < 3, 10.0, 0.0)
     state = DensifyState(
-        grad_accum=jnp.where(jnp.arange(cap) < 3, 10.0, 0.0),
+        grad_accum=g, grad_abs_accum=g,
         denom=jnp.ones(cap), max_radii2d=jnp.zeros(cap))
     new_pool, _, _, info = densify_and_prune(
         pool, adam, state, jax.random.PRNGKey(0),
@@ -110,7 +112,8 @@ def test_capacity_overflow_drops_children(rng):
     adam = init_adam(pool.trainable_dict())
     cap = pool.capacity
     state = DensifyState(
-        grad_accum=jnp.full((cap,), 10.0), denom=jnp.ones(cap),
+        grad_accum=jnp.full((cap,), 10.0),
+        grad_abs_accum=jnp.full((cap,), 10.0), denom=jnp.ones(cap),
         max_radii2d=jnp.zeros(cap))
     new_pool, _, _, info = densify_and_prune(
         pool, adam, state, jax.random.PRNGKey(0),
@@ -124,8 +127,11 @@ def test_accumulate_stats():
     grads = jnp.array([[3.0, 4.0], [1.0, 0.0], [0, 0], [5, 12]])
     vis = jnp.array([True, True, False, True])
     radii = jnp.array([1.0, 2.0, 3.0, 4.0])
-    state = accumulate_stats(state, grads, vis, radii)
+    state = accumulate_stats(state, grads, vis, radii,
+                             viewspace_absgrad=2.0 * grads)
     np.testing.assert_allclose(np.asarray(state.grad_accum), [5, 1, 0, 13])
+    np.testing.assert_allclose(np.asarray(state.grad_abs_accum),
+                               [10, 2, 0, 26])
     np.testing.assert_allclose(np.asarray(state.denom), [1, 1, 0, 1])
     np.testing.assert_allclose(np.asarray(state.max_radii2d), [1, 2, 0, 4])
 

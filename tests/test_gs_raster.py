@@ -197,3 +197,42 @@ def test_rasterize_capacity_overflow_drops_farthest(rng):
     # nearest is color 0 with alpha≈0.999: front dominates
     center = np.asarray(out.colors)[4, 4]
     assert center[0] > 0.99
+
+def test_rasterize_overflow_stats(rng):
+    """with_stats reports exact occupancy: 6 coincident gaussians vs
+    max_per_tile=2 -> 4 dropped per intersecting fine tile."""
+    H, W = 8, 8
+    n = 6
+    m2 = np.tile(np.array([[4.5, 4.5]], np.float32), (n, 1))
+    con = np.tile(np.array([1.0, 0.0, 1.0], np.float32), (n, 1))
+    col = np.eye(3, dtype=np.float32)[np.arange(n) % 3]
+    opa = np.full(n, 0.999, np.float32)
+    dep = np.arange(1, n + 1, dtype=np.float32)
+    rad = np.full(n, 2.0, np.float32)
+    args = (jnp.asarray(m2[:, 0]), jnp.asarray(m2[:, 1]),
+            jnp.asarray(con[:, 0]), jnp.asarray(con[:, 1]),
+            jnp.asarray(con[:, 2]), jnp.asarray(col), jnp.asarray(opa),
+            jnp.asarray(dep), jnp.ones(n, bool), jnp.asarray(rad))
+    out = rasterize_pixels(*args, width=W, height=H, tile_size=8,
+                           max_per_tile=2, with_stats=True)
+    st = {k: int(v) for k, v in out.stats.items()}
+    # one 8x8 fine tile == one coarse tile; all 6 intersect it
+    assert st["coarse_max"] == 6
+    assert st["fine_max"] == 6
+    assert st["fine_overflow_tiles"] == 1
+    assert st["fine_dropped"] == 4
+    assert st["coarse_dropped"] == 0  # kc = min(4096, 6) = 6
+
+    # ample capacity: counters are zero, and default path returns stats=None
+    out2 = rasterize_pixels(*args, width=W, height=H, tile_size=8,
+                            max_per_tile=8, with_stats=True)
+    assert int(out2.stats["fine_dropped"]) == 0
+    out3 = rasterize_pixels(*args, width=W, height=H, tile_size=8,
+                            max_per_tile=2)
+    assert out3.stats is None
+
+    # stats also work through the sort-based select path
+    out4 = rasterize_pixels(*args, width=W, height=H, tile_size=8,
+                            max_per_tile=2, select_method="sort",
+                            with_stats=True)
+    assert int(out4.stats["fine_max"]) == 6
