@@ -102,6 +102,18 @@ def build_scene_params(info: SceneInfo, ply_paths: dict[str, str],
     sh_degree = cfg.model.gaussian.sh_degree
     meta = build_scene_meta(info, cfg.model.gaussian.fourier_scale)
 
+    # LiDAR scene-sphere normalization for the sky specialization
+    # (gaussian_model_sky.py:20-35: get_Sphere_Norm of points3D_lidar.ply)
+    sphere_src = ply_paths.get("lidar") or ply_paths.get("bkgd")
+    if sphere_src:
+        from ...data_processor.pointcloud import sphere_norm
+        pc = read_ply(sphere_src)
+        center, radius = sphere_norm(pc.points)
+        import dataclasses as _dc
+        meta = _dc.replace(
+            meta, sphere_center=jnp.asarray(center, jnp.float32),
+            sphere_radius=jnp.float32(radius))
+
     bkgd = None
     if cfg.model.nsg.include_bkgd and "bkgd" in ply_paths:
         pc = read_ply(ply_paths["bkgd"])

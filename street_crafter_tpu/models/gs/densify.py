@@ -66,6 +66,22 @@ def accumulate_stats(state: DensifyState, viewspace_grad: jax.Array,
     )
 
 
+def sky_extent(pool: GaussianPool, sphere_radius: jax.Array,
+               percent_dense: float = 0.01) -> jax.Array:
+    """Sky pool's own densification extent (gaussian_model_sky.py:48-60):
+    the sphere radius clamped between the 10%-smallest and 10%-largest
+    max-scaling quantiles divided by percent_dense. Invalid slots are
+    excluded via +/-inf masking at fixed capacity."""
+    scale_max = jnp.max(jnp.minimum(pool.get_scaling(), sphere_radius),
+                        axis=-1)
+    n_valid = jnp.sum(pool.valid)
+    k = jnp.maximum((n_valid / 10).astype(jnp.int32), 1)
+    asc = jnp.sort(jnp.where(pool.valid, scale_max, jnp.inf))
+    low = asc[jnp.maximum(k - 1, 0)] / percent_dense
+    up = asc[jnp.maximum(n_valid - k, 0)] / percent_dense
+    return jnp.clip(sphere_radius, low, up)
+
+
 class DensifyInfo(NamedTuple):
     n_cloned: jax.Array
     n_split: jax.Array
@@ -87,6 +103,10 @@ def densify_and_prune(
     max_screen_size: float = 0.0,
     bbox: jax.Array | None = None,   # [3] (l, w, h): prune outside (actors,
     # gaussian_model_actor.py:201-272, canonical-frame box test)
+    pin_sphere: tuple[jax.Array, jax.Array] | None = None,  # (center [3],
+    # radius): sky specialization (gaussian_model_sky.py:62-76) — split
+    # children sample around the PINNED positions and scales are clamped at
+    # the sphere radius for the clone/split/big-point tests
     use_abs: bool | jax.Array = True,  # densify on the absgrad column
     # (gsplat-default behavior; gaussian_model_bkgd.py:102-105 — note the
     # reference's densify_grad_abs_* flag TRUE selects column 1, the SIGNED
@@ -99,7 +119,18 @@ def densify_and_prune(
     grads = accum / jnp.maximum(state.denom, 1.0)
     grads = jnp.where(jnp.isnan(grads), 0.0, grads)
 
-    scale_max = jnp.max(pool.get_scaling(), axis=-1)
+    scales_act = pool.get_scaling()
+    base_xyz = pool.xyz
+    if pin_sphere is not None:
+        center, radius = pin_sphere
+        rel = base_xyz - center
+        dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+        ratio = dist / (2.0 * radius)
+        base_xyz = jnp.where(ratio < 1.0,
+                             center + rel / jnp.maximum(ratio, 1e-12),
+                             base_xyz)
+        scales_act = jnp.minimum(scales_act, radius)
+    scale_max = jnp.max(scales_act, axis=-1)
     hot = pool.valid & (grads >= grad_threshold)
     clone_mask = hot & (scale_max <= percent_dense * extent)
     split_mask = hot & (scale_max > percent_dense * extent)
@@ -115,10 +146,10 @@ def densify_and_prune(
     free_list = jnp.argsort(pool.valid.astype(jnp.int32), stable=True)
 
     rotmats = Q.to_matrix(pool.get_rotation())
-    scales = pool.get_scaling()
+    scales = scales_act  # clamped for sky pools; == get_scaling() otherwise
     k1, k2 = jax.random.split(key)
     noise = (jax.random.normal(k1, (2, cap, 3)) * scales[None])
-    split_xyz = pool.xyz[None] + jnp.einsum("nij,snj->sni", rotmats, noise)
+    split_xyz = base_xyz[None] + jnp.einsum("nij,snj->sni", rotmats, noise)
     split_scaling = jnp.log(jnp.maximum(scales / 1.6, 1e-12))
 
     new_pool = pool
@@ -155,7 +186,10 @@ def densify_and_prune(
     opa = jax.nn.sigmoid(updated["opacity"])[:, 0]
     prune = new_valid & (opa < min_opacity)
     if prune_big_points:
-        scale_max_new = jnp.max(jnp.exp(updated["scaling"]), axis=-1)
+        scale_new = jnp.exp(updated["scaling"])
+        if pin_sphere is not None:
+            scale_new = jnp.minimum(scale_new, pin_sphere[1])
+        scale_max_new = jnp.max(scale_new, axis=-1)
         prune |= new_valid & (scale_max_new > extent * percent_big_ws)
         if max_screen_size > 0:
             prune |= new_valid & (state.max_radii2d > max_screen_size) & ~slot_reset

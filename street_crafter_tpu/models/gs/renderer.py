@@ -113,6 +113,8 @@ def render_scene(
     flip_mask: jax.Array | None = None,
     viewspace_zero: jax.Array | None = None,
     absgrad_sink: jax.Array | None = None,
+    viewspace_zero_sky: jax.Array | None = None,
+    absgrad_sink_sky: jax.Array | None = None,
     clamp: bool = False,
     white_background: bool = False,
     bf16_composite: bool = False,
@@ -158,9 +160,13 @@ def render_scene(
             sky_flat, w2c, K, cam_center, camera.width, camera.height,
             sh_degree=sh_degree, tile_size=tile_size,
             max_per_tile=max_per_tile, antialiasing=antialiasing,
+            viewspace_zero=viewspace_zero_sky,
+            absgrad_sink=absgrad_sink_sky,
             bf16_composite=bf16_composite)
         result["rgb"] = result["rgb"] + sky_res["rgb"] * (1.0 - result["acc"][..., None])
         result["acc_sky"] = sky_res["acc"]
+        result["radii_sky"] = sky_res["radii"]
+        result["visibility_sky"] = sky_res["visibility"]
     elif include_sky and params.sky_cubemap is not None:
         c2w_rot = w2c[:3, :3].T
         c2w = jnp.eye(4).at[:3, :3].set(c2w_rot).at[:3, 3].set(cam_center)

@@ -62,6 +62,11 @@ class SceneMeta:
     actor_bbox: jax.Array | None = None  # [A, 3] (length, width, height)
     actor_random_init: jax.Array | None = None  # [A] grid-init flag
     # (<2000 LiDAR pts; forces absgrad densification, actor :201-210)
+    # LiDAR scene sphere (base_readers.get_Sphere_Norm of points3D_lidar):
+    # sky gaussians are pinned outside 2x this sphere and scale-clamped to
+    # its radius (gaussian_model_sky.py:62-76)
+    sphere_center: jax.Array | None = None  # [3]
+    sphere_radius: jax.Array | None = None  # scalar
     fourier_scale: float = dataclasses.field(default=1.0, metadata=dict(static=True))
 
     @property
@@ -140,6 +145,22 @@ def actor_time(meta: SceneMeta, frame: jax.Array) -> jax.Array:
     return meta.fourier_scale * (frame - start) / span
 
 
+def sky_pin(xyz: jax.Array, scaling: jax.Array, meta: SceneMeta | None
+            ) -> tuple[jax.Array, jax.Array]:
+    """Sky-pool specialization (gaussian_model_sky.py:62-76): positions
+    closer to the LiDAR sphere center than 2x its radius are pushed out onto
+    the 2r sphere; scales are clamped at the sphere radius. No-op when the
+    scene carries no sphere normalization."""
+    if meta is None or meta.sphere_center is None:
+        return xyz, scaling
+    rel = xyz - meta.sphere_center
+    dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+    ratio = dist / (2.0 * meta.sphere_radius)
+    pinned = meta.sphere_center + rel / jnp.maximum(ratio, 1e-12)
+    xyz = jnp.where(ratio < 1.0, pinned, xyz)
+    return xyz, jnp.minimum(scaling, meta.sphere_radius)
+
+
 def flatten_scene(
     params: SceneParams,
     meta: SceneMeta | None,
@@ -211,7 +232,8 @@ def flatten_scene(
 
     if include_sky and params.sky is not None:
         p = params.sky
-        add_pool(p.xyz, p.get_rotation(), p.get_scaling(),
+        xyz, scaling = sky_pin(p.xyz, p.get_scaling(), meta)
+        add_pool(xyz, p.get_rotation(), scaling,
                  p.get_opacity()[:, 0], p.get_features(), p.valid)
 
     if not parts_xyz:

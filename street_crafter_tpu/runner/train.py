@@ -193,7 +193,8 @@ class GSTrainer:
                     and iteration % o.densification_interval == 0):
                 self.state, _ = self._densify(
                     self.state, self.next_key(), float(scene.extent),
-                    scene.meta.actor_bbox, scene.meta.actor_random_init)
+                    scene.meta.actor_bbox, scene.meta.actor_random_init,
+                    scene.meta.sphere_center, scene.meta.sphere_radius)
             if (iteration % o.opacity_reset_interval == 0
                     and iteration <= o.densify_until_iter):
                 self.state = reset_opacity_step(self.state)
@@ -220,6 +221,8 @@ class GSTrainer:
             if iteration in cfg.train.checkpoint_iterations or \
                     iteration == cfg.train.iterations:
                 save_checkpoint(scene.model_path, iteration, self.state)
+            if iteration in cfg.train.get("save_iterations", []):
+                self.export_ply(iteration)
 
             if iteration % 100 == 0:
                 dt = time.perf_counter() - t0
@@ -229,6 +232,35 @@ class GSTrainer:
         profiler.close()
         metrics.close()
         return self.state
+
+    def export_ply(self, iteration: int) -> None:
+        """Viewer-compatible 3DGS PLY export of all trained pools
+        (street_gaussian_model.py:88-99 composite save; path convention of
+        the 3DGS ecosystem: point_cloud/iteration_N/point_cloud.ply)."""
+        from ..utils.gs_ply import export_gaussians_ply
+        params = self.state.params
+        pools = {}
+        if params.bkgd is not None:
+            pools["bkgd"] = params.bkgd
+        if params.actors is not None:
+            A = params.actors.xyz.shape[0]
+            for i in range(A):
+                pools[f"obj_{i:03d}"] = jax.tree_util.tree_map(
+                    lambda x, i=i: x[i], params.actors)
+        if params.sky is not None:
+            pools["sky"] = params.sky
+        path = os.path.join(self.scene.model_path, "point_cloud",
+                            f"iteration_{iteration}", "point_cloud.ply")
+        export_gaussians_ply(path, pools)
+        if params.sky_cubemap is not None:
+            # latlong export on save (sky_cubemap.py:38-48)
+            import imageio.v2 as imageio
+            from ..ops.cubemap import latlong_from_cubemap
+            ll = np.asarray(latlong_from_cubemap(params.sky_cubemap,
+                                                 512, 1024))
+            imageio.imwrite(
+                os.path.join(os.path.dirname(path), "sky_latlong.png"),
+                (np.clip(ll, 0, 1) * 255).astype(np.uint8))
 
     def _log_eval_image(self, metrics, iteration: int, sh: int) -> None:
         """First test view render -> tensorboard (training_report image

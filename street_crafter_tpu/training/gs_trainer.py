@@ -164,7 +164,8 @@ def make_train_step(
         if flip_prob > 0 and A > 0:
             flip_mask = jax.random.uniform(kf, (A, cap_o)) < flip_prob
 
-        def loss_fn(p: SceneParams, vz: jax.Array, sink: jax.Array):
+        def loss_fn(p: SceneParams, vz: jax.Array, sink: jax.Array,
+                    vz_sky: jax.Array, sink_sky: jax.Array):
             out = render_scene(
                 p, meta, camera,
                 frame_idx=batch["frame_idx"], frame=batch["frame"],
@@ -173,6 +174,7 @@ def make_train_step(
                 sh_degree=sh_degree, tile_size=tile_size,
                 max_per_tile=max_per_tile, flip_mask=flip_mask,
                 viewspace_zero=vz, absgrad_sink=sink,
+                viewspace_zero_sky=vz_sky, absgrad_sink_sky=sink_sky,
                 white_background=bool(cfg.data.white_background))
             acc_obj = None
             if with_obj_acc and params.actors is not None:
@@ -196,11 +198,14 @@ def make_train_step(
             return loss, (scalars, out)
 
         vz0 = jnp.zeros((n_flat, 2), jnp.float32)
+        n_sky = params.sky.capacity if params.sky is not None else 0
+        vz0_sky = jnp.zeros((n_sky, 2), jnp.float32)
         # allow_int: SceneParams carries bool validity masks (their grads are
         # float0 and unused)
-        (_, (scalars, out)), (gparams, gvz, gabs) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True, allow_int=True)(
-                params, vz0, vz0)
+        (_, (scalars, out)), (gparams, gvz, gabs, gvz_sky, gabs_sky) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True,
+                allow_int=True)(params, vz0, vz0, vz0_sky, vz0_sky)
         # gsplat pixel-unit screen grads -> the reference's NDC-comparable
         # scale: x 0.5*[W, H] (street_gaussian_model.py:508), so the
         # densify_grad_threshold values (0.0002/0.0006) carry over verbatim.
@@ -257,7 +262,7 @@ def make_train_step(
             new_state = dataclasses.replace(new_state, adam_actors=adam_a2,
                                             dstate_actors=ds_a2)
 
-        # -- sky pool (no viewspace stats needed for cubemap-free sky) -----
+        # -- sky pool -------------------------------------------------------
         if params.sky is not None:
             pd, adam2 = adam_update(
                 params.sky.trainable_dict(), gparams.sky.trainable_dict(),
@@ -267,7 +272,16 @@ def make_train_step(
                 features_rest=pd["f_rest"], scaling=pd["scaling"],
                 rotation=pd["rotation"], opacity=pd["opacity"])
             new_params = dataclasses.replace(new_params, sky=new_sky)
-            new_state = dataclasses.replace(new_state, adam_sky=adam2)
+            ds_sky = state.dstate_sky
+            if "visibility_sky" in out:
+                # sky densification stats from the sky pass
+                # (add_densification_stats_sky, street_gaussian_model
+                # .py:522-532)
+                ds_sky = accumulate_stats(
+                    ds_sky, gvz_sky * grad_scale, out["visibility_sky"],
+                    out["radii_sky"], viewspace_absgrad=gabs_sky * grad_scale)
+            new_state = dataclasses.replace(new_state, adam_sky=adam2,
+                                            dstate_sky=ds_sky)
 
         # -- misc params (cubemap / corrections / track residuals) ---------
         misc = _misc_params(params)
@@ -300,7 +314,9 @@ def make_densify_step(cfg: Config) -> Callable:
     def densify_step(state: GSTrainState, key: jax.Array,
                      extent: float,
                      actor_bbox: jax.Array | None = None,
-                     actor_random_init: jax.Array | None = None
+                     actor_random_init: jax.Array | None = None,
+                     sphere_center: jax.Array | None = None,
+                     sphere_radius: jax.Array | None = None
                      ) -> tuple[GSTrainState, dict]:
         params = state.params
         new = state
@@ -351,6 +367,24 @@ def make_densify_step(cfg: Config) -> Callable:
                 new, params=dataclasses.replace(new.params, actors=pool),
                 adam_actors=adam, dstate_actors=ds)
             info["actors"] = inf
+        if params.sky is not None and sphere_radius is not None:
+            # sky model: own extent, pinned split origins, clamped scales,
+            # always the absgrad column (gaussian_model_sky.py:79-148)
+            from ..models.gs.densify import sky_extent
+            ext_sky = sky_extent(params.sky, sphere_radius, o.percent_dense)
+            pool, adam, ds, inf = densify_and_prune(
+                params.sky, state.adam_sky, state.dstate_sky, ks,
+                grad_threshold=o.densify_grad_threshold,
+                percent_dense=o.percent_dense, extent=ext_sky,
+                min_opacity=o.min_opacity,
+                prune_big_points=bool(o.prune_big_points),
+                percent_big_ws=o.percent_big_ws,
+                max_screen_size=o.max_screen_size,
+                pin_sphere=(sphere_center, sphere_radius), use_abs=True)
+            new = dataclasses.replace(
+                new, params=dataclasses.replace(new.params, sky=pool),
+                adam_sky=adam, dstate_sky=ds)
+            info["sky"] = inf
         return new, info
 
     return jax.jit(densify_step, static_argnames=("extent",))
@@ -370,4 +404,11 @@ def reset_opacity_step(state: GSTrainState) -> GSTrainState:
         new = dataclasses.replace(
             new, params=dataclasses.replace(new.params, actors=pool),
             adam_actors=adam)
+    if state.params.sky is not None:
+        # reference resets ALL sub-models incl. sky
+        # (street_gaussian_model.py:560-565)
+        pool, adam = reset_opacity(state.params.sky, state.adam_sky)
+        new = dataclasses.replace(
+            new, params=dataclasses.replace(new.params, sky=pool),
+            adam_sky=adam)
     return new

@@ -22,6 +22,7 @@ def cfg(tmp_path_factory):
     c.train.iterations = 30
     c.train.test_iterations = [30]
     c.train.checkpoint_iterations = [30]
+    c.train.save_iterations = [30]
     c.train.novel_view_prob = 0.0
     c.train.log_interval = 1000
     c.optim.capacity_bkgd = 4096
@@ -104,3 +105,12 @@ def test_train_and_render(cfg):
 
     nv = render_novel_view(cfg)
     assert any(os.path.exists(p) for p in nv.values())
+
+    # viewer-format PLY was exported at save_iterations and round-trips
+    ply = os.path.join(cfg.model_path, "point_cloud", "iteration_30",
+                       "point_cloud.ply")
+    assert os.path.exists(ply)
+    from street_crafter_tpu.utils.gs_ply import import_gaussians_ply
+    pools = import_gaussians_ply(ply)
+    assert "bkgd" in pools and "sky" in pools
+    assert int(pools["bkgd"].num_valid()) > 100
