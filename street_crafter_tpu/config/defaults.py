@@ -225,6 +225,15 @@ def default_config() -> Config:
             "grad_clip": 0.3,
             "ema_decay": 0.9999,
             "guidance_dropout": 0.15,
+            # param-group recipe (diffusion_condition.py:298-355). The
+            # StreetCrafter conditioned fine-tune freezes temporal layers
+            # (waymo_high_res_mix.yaml:12-16: slow_temporal_layers True,
+            # scale 0.)
+            "slow_spatial_layers": False,
+            "slow_spatial_layers_scale": 0.1,
+            "slow_temporal_layers": True,
+            "slow_temporal_layers_scale": 0.0,
+            "train_peft_adapters": False,
             "height": 576,
             "width": 1024,
             "num_frames": 25,

@@ -61,7 +61,14 @@ class AlphaBlender(nn.Module):
 
 
 def _norm(name="norm"):
+    """openaimodel GroupNorm32: torch nn.GroupNorm default eps=1e-5."""
     return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+
+
+def _norm_attn(name="norm"):
+    """attention.py Normalize: GroupNorm with eps=1e-6 (:141-142) — used by
+    the (Spatial)Transformer's input norm, NOT by ResBlocks."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
 
 
 class ResBlock(nn.Module):
@@ -290,7 +297,7 @@ class SpatialVideoTransformer(nn.Module):
         if self.use_spatial_context and context is not None:
             time_context = context  # handled per-block (frame-0 slice)
 
-        h = _norm("norm")(x)
+        h = _norm_attn("norm")(x)
         h = h.reshape(BT, H * W, C)
         h = nn.Dense(inner, name="proj_in")(h)  # use_linear_in_transformer
 

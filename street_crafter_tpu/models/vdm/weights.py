@@ -58,6 +58,16 @@ def load_vdm_params(engine: VideoDiffusionEngine, dcfg,
                                           target)
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(os.path.abspath(ckpt), abstract)
+    if ckpt and os.path.isfile(ckpt):
+        # torch-side checkpoint: convert in place (sample_condition.py:80-106
+        # non-strict load analog; unmatched keys are reported, not fatal)
+        from .convert import convert_engine_checkpoint
+        params, report = convert_engine_checkpoint(
+            ckpt, engine, init_height=init_height, init_width=init_width)
+        for name, keys in report.items():
+            if keys:
+                print(f"{name}: {len(keys)} keys (e.g. {keys[:3]})")
+        return params
     if ckpt:
         raise FileNotFoundError(f"vdm checkpoint not found: {ckpt}")
     print("WARNING: no diffusion ckpt_path set; using random-init weights")

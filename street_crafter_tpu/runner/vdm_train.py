@@ -85,9 +85,17 @@ def finetune(cfg: Config) -> None:
     n_dev = len(jax.devices())
     mesh = make_mesh({"data": n_dev})
     rules = ShardingRules(mesh)
+    # param-group recipe (slow/frozen temporal layers etc.,
+    # diffusion_condition.py:298-355; the StreetCrafter conditioned
+    # fine-tune freezes temporal layers: waymo_high_res_mix.yaml:12-16)
+    groups = {k: v.get(k) for k in (
+        "slow_spatial_layers", "slow_spatial_layers_scale",
+        "slow_temporal_layers", "slow_temporal_layers_scale",
+        "train_peft_adapters") if v.get(k) is not None}
     state = shard_vdm_train_state(
         init_vdm_train_state(engine, params, lr=v.lr,
-                             grad_clip=v.grad_clip), rules)
+                             grad_clip=v.grad_clip, param_groups=groups),
+        rules)
     if cfg.resume:
         restored, it = load_checkpoint(model_path, state)
         if restored is not None:
@@ -97,7 +105,7 @@ def finetune(cfg: Config) -> None:
     step_fn = make_vdm_train_step(
         engine, lr=v.lr, grad_clip=v.grad_clip, ema_decay=v.ema_decay,
         guidance_dropout=v.guidance_dropout, rules=rules,
-        accum_steps=int(v.get("accumulate", 1)))
+        accum_steps=int(v.get("accumulate", 1)), param_groups=groups)
     encode_fn = make_encode_fn(
         engine, {"vae": params["vae"], "clip": params["clip"]})
 

@@ -40,20 +40,103 @@ class VDMTrainState:
     step: jax.Array
 
 
+def is_temporal_param(path: tuple) -> bool:
+    """Reference param-group predicate: torch names containing 'time_stack'
+    (diffusion_condition.py:298-320). That substring matches the
+    VideoResBlock temporal stack, the temporal transformer blocks AND
+    cond_time_stack_embed (whose torch name contains 'time_stack' — the
+    StreetCrafter embed is thus ALSO slowed/frozen under
+    slow_temporal_layers). Our flax tree names the temporal transformer
+    blocks 'time_block_<d>'; everything else matches by the same substring.
+    """
+    for k in path:
+        name = getattr(k, "key", str(k))
+        if "time_stack" in name or name.startswith("time_block"):
+            return True
+    return False
+
+
+def is_peft_param(path: tuple) -> bool:
+    """train_peft_adapters group: 'adapter' + 'cond_time_stack_embed'
+    (diffusion_condition.py:321-329). All other params are excluded from the
+    optimizer (frozen)."""
+    for k in path:
+        name = getattr(k, "key", str(k))
+        if "adapter" in name or "cond_time_stack_embed" in name:
+            return True
+    return False
+
+
+def param_group_labels(unet_params: Any,
+                       slow_spatial_layers: bool = False,
+                       slow_temporal_layers: bool = False,
+                       train_peft_adapters: bool = False) -> Any:
+    """Label pytree for optax.multi_transform: 'base' trains at the base lr,
+    'slow' at lr x scale (scale 0 == frozen), 'frozen' is excluded."""
+    def label(path, _):
+        if slow_spatial_layers:
+            return "base" if is_temporal_param(path) else "slow"
+        if slow_temporal_layers:
+            return "slow" if is_temporal_param(path) else "base"
+        if train_peft_adapters:
+            return "base" if is_peft_param(path) else "frozen"
+        return "base"
+
+    return jax.tree_util.tree_map_with_path(label, unet_params)
+
+
 def make_optimizer(lr: float = 1e-5, grad_clip: float = 0.3,
-                   weight_decay: float = 0.0) -> optax.GradientTransformation:
-    txs = [optax.clip_by_global_norm(grad_clip)]
-    if weight_decay > 0:
-        txs.append(optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay))
+                   weight_decay: float = 0.0,
+                   labels: Any | None = None,
+                   slow_scale: float = 1.0) -> optax.GradientTransformation:
+    """Global-norm clip (Lightning gradient_clip_val analog: one norm over
+    ALL params) then per-group Adam via multi_transform. With
+    slow_scale=0 the 'slow' group's moments still update but params are
+    bit-identical (torch lr=0 param-group semantics)."""
+    def adam(alr):
+        if weight_decay > 0:
+            return optax.adamw(alr, b1=0.9, b2=0.999,
+                               weight_decay=weight_decay)
+        return optax.adam(alr, b1=0.9, b2=0.999)
+
+    if labels is None:
+        inner = adam(lr)
     else:
-        txs.append(optax.adam(lr, b1=0.9, b2=0.999))
-    return optax.chain(*txs)
+        # labels may be a pytree or a callable(params) -> labels
+        inner = optax.multi_transform(
+            {"base": adam(lr), "slow": adam(lr * slow_scale),
+             "frozen": optax.set_to_zero()},
+            labels)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), inner)
+
+
+def optimizer_from_groups(lr: float, grad_clip: float,
+                          groups: dict | None) -> optax.GradientTransformation:
+    """Build the fine-tune optimizer from the reference's param-group flags
+    (slow_spatial_layers / slow_temporal_layers / train_peft_adapters +
+    scales, waymo_high_res_mix.yaml:12-16)."""
+    groups = groups or {}
+    ss = bool(groups.get("slow_spatial_layers", False))
+    st = bool(groups.get("slow_temporal_layers", False))
+    pa = bool(groups.get("train_peft_adapters", False))
+    if not (ss or st or pa):
+        return make_optimizer(lr, grad_clip)
+    scale = (float(groups.get("slow_spatial_layers_scale", 0.1)) if ss
+             else float(groups.get("slow_temporal_layers_scale", 0.0)))
+
+    def labels(params):
+        return param_group_labels(params, slow_spatial_layers=ss,
+                                  slow_temporal_layers=st,
+                                  train_peft_adapters=pa)
+
+    return make_optimizer(lr, grad_clip, labels=labels, slow_scale=scale)
 
 
 def init_vdm_train_state(engine: VideoDiffusionEngine, params: dict,
-                         lr: float = 1e-5, grad_clip: float = 0.3
+                         lr: float = 1e-5, grad_clip: float = 0.3,
+                         param_groups: dict | None = None
                          ) -> VDMTrainState:
-    tx = make_optimizer(lr, grad_clip)
+    tx = optimizer_from_groups(lr, grad_clip, param_groups)
     unet_params = params["unet"]
     return VDMTrainState(
         unet_params=unet_params,
@@ -71,6 +154,7 @@ def make_vdm_train_step(
     guidance_dropout: float = 0.15,
     rules: ShardingRules | None = None,
     accum_steps: int = 1,
+    param_groups: dict | None = None,
 ) -> Callable:
     """Build the jitted fine-tune step.
 
@@ -79,7 +163,7 @@ def make_vdm_train_step(
     input pipeline (frozen VAE), mirroring shared_step
     (diffusion_condition.py:237-247).
     """
-    tx = make_optimizer(lr, grad_clip)
+    tx = optimizer_from_groups(lr, grad_clip, param_groups)
     T = engine.cfg.num_frames
 
     def train_step(state: VDMTrainState, batch: dict, key: jax.Array):
