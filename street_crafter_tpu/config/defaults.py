@@ -28,8 +28,12 @@ def default_config() -> Config:
 
         # TPU execution
         "mesh": {
-            # axis name -> size; -1 means "all remaining devices"
-            "axes": {"data": -1, "frames": 1, "tensor": 1},
+            # axis name -> size; -1 means "all remaining devices".
+            # data: clips (DP + ZeRO-2 moments); frames: clip-frame axis
+            # (sequence parallel — temporal attention goes through an XLA
+            # all-to-all). No tensor axis: the 1.5B UNet fits per chip in
+            # bf16, TP is unnecessary (SURVEY §2.3).
+            "axes": {"data": -1, "frames": 1},
             "dcn_axes": {},           # multi-slice: axis -> num_slices
         },
         "precision": {

@@ -9,8 +9,12 @@ from sharding annotations and ride ICI. This module owns mesh construction:
 - ``data``   : batch / clip axis (DP; optimizer states sharded here = ZeRO-2)
 - ``frames`` : video frame axis (sequence parallelism for the 25-frame clips;
   the reference has no SP — temporal attention is a local reshape — but the
-  TPU design makes the frame axis a first-class mesh axis, SURVEY §2.3)
-- ``tensor`` : attention-head / feature axis (TP, optional)
+  TPU design makes the frame axis a first-class mesh axis, SURVEY §2.3:
+  spatial UNet work stays frame-local, temporal attention crosses the axis
+  through an XLA-inserted all-to-all).
+
+No tensor-parallel axis: the 1.5B UNet fits per chip in bf16 (SURVEY §2.3
+"TP/PP/EP not required for parity").
 """
 
 from __future__ import annotations

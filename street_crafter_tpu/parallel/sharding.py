@@ -52,7 +52,6 @@ class ShardingRules:
     mesh: Mesh
     data_axis: str = "data"
     frames_axis: str = "frames"
-    tensor_axis: str = "tensor"
 
     def params(self) -> NamedSharding:
         return replicated(self.mesh)

@@ -82,9 +82,10 @@ def finetune(cfg: Config) -> None:
     params = load_vdm_params(engine, dcfg, init_height=v.height,
                              init_width=v.width)
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh({"data": n_dev})
+    mesh = make_mesh(dict(cfg.mesh.axes))
     rules = ShardingRules(mesh)
+    if mesh.shape.get("frames", 1) > 1:
+        print(f"mesh: {dict(mesh.shape)} (frame-axis sequence sharding on)")
     # param-group recipe (slow/frozen temporal layers etc.,
     # diffusion_condition.py:298-355; the StreetCrafter conditioned
     # fine-tune freezes temporal layers: waymo_high_res_mix.yaml:12-16)

@@ -182,6 +182,27 @@ def make_vdm_train_step(
             sh = NamedSharding(rules.mesh, P(rules.data_axis))
             gscale = jax.lax.with_sharding_constraint(gscale, sh)
             clip_keys = jax.lax.with_sharding_constraint(clip_keys, sh)
+            # frame-axis (sequence) sharding: annotate the clip-frame dim of
+            # every [B, T, ...] leaf with the ``frames`` mesh axis. The UNet's
+            # spatial path runs frame-local (the (b t) dim stays sharded);
+            # at the temporal-attention reshape (b t) s c -> (b s) t c XLA
+            # inserts the Ulysses-style all-to-all automatically. This is
+            # the TPU design's own parallelism (SURVEY §2.3) — the reference
+            # has no SP; >data-parallel meshes are no longer capped by clip
+            # count at batch 1/device.
+            if rules.mesh.shape.get(rules.frames_axis, 1) > 1:
+                mesh = rules.mesh
+
+                def seq_constrain(x):
+                    if hasattr(x, "ndim") and x.ndim >= 2 \
+                            and x.shape[:2] == (bs, T):
+                        spec = P(rules.data_axis, rules.frames_axis,
+                                 *([None] * (x.ndim - 2)))
+                        return jax.lax.with_sharding_constraint(
+                            x, NamedSharding(mesh, spec))
+                    return x
+
+                batch = jax.tree_util.tree_map(seq_constrain, batch)
 
         def loss_fn(unet_params):
             params = {"unet": unet_params, **state.frozen_params}
@@ -296,15 +317,21 @@ def shard_vdm_train_state(state: VDMTrainState,
 
 def shard_batch_for_mesh(batch: dict, rules: ShardingRules, num_frames: int
                          ) -> dict:
-    """Shard the clip axis over ``data``: [B*T, ...] leaves are placed with
-    the leading dim sharded (whole clips per device since B*T % data == 0 is
-    required by the caller)."""
+    """Shard the clip axis over ``data`` and (when the mesh has one) the
+    frame axis over ``frames``: [B, T, ...] leaves land as P(data, frames);
+    other leading-divisible leaves as P(data)."""
     mesh = rules.mesh
     data = rules.data_axis
+    frames = mesh.shape.get(rules.frames_axis, 1)
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and \
-                x.shape[0] % mesh.shape[data] == 0:
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if (frames > 1 and x.ndim >= 2 and x.shape[1] == num_frames
+                and x.shape[0] % mesh.shape[data] == 0):
+            spec = P(data, rules.frames_axis, *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        if x.shape[0] % mesh.shape[data] == 0:
             return jax.device_put(x, NamedSharding(mesh, P(data)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 

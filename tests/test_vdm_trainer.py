@@ -62,3 +62,31 @@ def test_vdm_train_step_sharded_8dev():
     # step twice to exercise donated buffers
     state3, _ = step(state2, batch, jax.random.PRNGKey(3))
     assert int(state3.step) == 2
+
+
+def test_frames_axis_sharding_matches_data_only():
+    """SURVEY §2.3 frame-axis sequence sharding: a {data:2, frames:4} mesh
+    computes the same loss and parameter update as {data:8} — the frames
+    axis changes layout (all-to-all at temporal attention), not math."""
+    cfg = EngineConfig.tiny(num_frames=4)
+    eng = VideoDiffusionEngine(cfg)
+    params = eng.init_params(jax.random.PRNGKey(0), 32, 32)
+    batch = make_batch(eng, params, jax.random.PRNGKey(1), 2, 4, 32, 32)
+
+    def run(n_dev, axes):
+        mesh = make_virtual_cpu_mesh(n_dev, axes)
+        rules = ShardingRules(mesh)
+        state = shard_vdm_train_state(
+            init_vdm_train_state(eng, params, lr=1e-4), rules)
+        b = shard_batch_for_mesh(batch, rules, 4)
+        step = make_vdm_train_step(eng, lr=1e-4, rules=rules,
+                                   guidance_dropout=0.0)
+        state2, scalars = step(state, b, jax.random.PRNGKey(2))
+        return float(scalars["loss"]), state2.unet_params
+
+    loss_seq, p_seq = run(8, {"data": 2, "frames": 4})
+    loss_dp, p_dp = run(2, {"data": 2})
+    np.testing.assert_allclose(loss_seq, loss_dp, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_seq),
+                    jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
