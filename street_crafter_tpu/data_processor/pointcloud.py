@@ -287,7 +287,8 @@ class PointCloudProcessor:
     # -- condition rendering ---------------------------------------------------
     def render_condition(self, camera, objects_info: list[ObjectInfo],
                          scale: float = 0.01, use_ndc_scale: bool = True,
-                         force: bool = False) -> None:
+                         force: bool = False,
+                         splat_mode: str = "gaussian") -> None:
         """Render + save the LiDAR condition rgb/mask for one camera
         (waymo_processor.py:178-242). `camera` is a CameraInfo."""
         rgb_path = camera.metadata["guidance_rgb_path"]
@@ -317,7 +318,7 @@ class PointCloudProcessor:
             parts.append(self.transform_lidar_ply(ply, pose))
 
         ply = np.concatenate(parts)
-        rgb, acc = self._splat(ply, camera, scale, use_ndc_scale)
+        rgb, acc = self._splat(ply, camera, scale, use_ndc_scale, splat_mode)
 
         import imageio.v2 as imageio
         os.makedirs(os.path.dirname(rgb_path), exist_ok=True)
@@ -325,9 +326,15 @@ class PointCloudProcessor:
         imageio.imwrite(mask_path, (acc * 255).astype(np.uint8))
 
     def _splat(self, ply: np.ndarray, camera, scale: float,
-               use_ndc_scale: bool) -> tuple[np.ndarray, np.ndarray]:
+               use_ndc_scale: bool, splat_mode: str = "gaussian"
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """splat_mode "gaussian" is the reference-exact condition path
+        (diff_point_rasterization semantics, ops.point_raster.
+        render_pointcloud_gaussian); "nearest" is the fast hard-disk
+        z-buffer."""
         import jax.numpy as jnp
-        from ..ops.point_raster import render_pointcloud
+        from ..ops.point_raster import (render_pointcloud,
+                                        render_pointcloud_gaussian)
 
         n = len(ply)
         cap = _next_pow2(n)
@@ -338,7 +345,9 @@ class PointCloudProcessor:
         rgb[:n] = ply[:, 3:6]
         msk[:n] = True
 
-        out = render_pointcloud(
+        fn = (render_pointcloud_gaussian if splat_mode == "gaussian"
+              else render_pointcloud)
+        out = fn(
             jnp.asarray(np.asarray(camera.c2w, np.float32)),
             jnp.asarray(np.asarray(camera.K, np.float32)),
             jnp.asarray(xyz), jnp.asarray(rgb),
