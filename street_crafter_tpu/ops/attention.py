@@ -19,6 +19,20 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     """[B, S, H, D] x [B, Skv, H, D] -> [B, S, H, D], f32 softmax accumulation."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    if q.shape[1] <= 32 and k.shape[1] <= 32 and q.shape[1] > 1:
+        # tiny sequence (the 25-frame temporal axis): fold heads into the
+        # batched-matmul batch dim up front — 21.0 vs 27.4 ms at
+        # [18432, 25, 5, 64] on v5e (scripts/bench_temporal_attn.py)
+        B, T, H, D = q.shape
+        Tk = k.shape[1]
+        qt = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+        kt = k.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
+        vt = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
+        logits = jnp.einsum("btd,bsd->bts", qt, kt,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        o = jnp.einsum("bts,bsd->btd", probs, vt)
+        return o.reshape(B, H, T, D).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
@@ -34,9 +48,14 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     over 25 frames).
     """
     if use_pallas is None:
+        # short KV (cross-attention against a length-1 CLIP embedding, or
+        # the 25-frame temporal axis) is faster in XLA: the flash kernel
+        # pads kv to >=128 and its grid dispatch dominates (13.9 ms vs ~1 ms
+        # at [50, 9216, 5, 64] x kv=1, measured on v5e)
         use_pallas = (
             jax.default_backend() not in ("cpu",)
-            and q.shape[1] >= 256 and q.shape[-1] in (64, 128))
+            and q.shape[1] >= 256 and k.shape[1] >= 256
+            and q.shape[-1] in (64, 128))
     if use_pallas:
         try:
             from .flash_attention import flash_attention

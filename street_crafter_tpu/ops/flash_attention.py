@@ -6,9 +6,11 @@ vwm/modules/attention.py:384-407). Online-softmax tiling: queries are blocked
 over the grid, K/V stream through VMEM in chunks inside a fori_loop, with
 running (max, denominator, accumulator) carried in f32.
 
-Backward: jax.custom_vjp whose bwd recomputes attention per (batch*head)
-chunk with standard XLA math under lax.map — O(S^2) memory only per chunk,
-exact gradients. A fused Pallas backward kernel is a later optimization.
+Backward: fused Pallas kernels (FlashAttention-2 style). The forward also
+writes the per-row logsumexp; backward runs two streaming kernels — dK/dV
+(kv blocks resident, q streams) and dQ (q blocks resident, kv streams) —
+recomputing p = exp(qk*scale - lse) on the fly, so no O(S^2) tensor ever
+touches HBM. An XLA recompute path is kept for CPU tests.
 """
 
 from __future__ import annotations
@@ -23,52 +25,48 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale: float, seq_len_kv: int, need_mask: bool):
-    """Grid-streamed online softmax: grid = (bh, nq, nk); the kv axis is the
-    innermost grid dim so K/V blocks stream through VMEM while running
-    (max, denom, acc) live in scratch — per-step VMEM is O(block sizes), not
-    O(seq_kv) (the previous whole-KV-resident variant blew the 16 MB scoped
-    VMEM at 9216 tokens)."""
-    j = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    # keep the dots in the input dtype (bf16 runs the MXU at full rate; the
-    # f32 upcast would cost ~8x) and accumulate in f32
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                  scale: float, seq_len_kv: int, block_k: int,
+                  need_mask: bool):
+    """Online softmax with the WHOLE (padded) K/V resident in VMEM and the
+    kv loop INSIDE the kernel (fori_loop over chunks, running max/denom/acc
+    as loop carries). Grid = (bh, nq): K/V are fetched once per batch-head
+    and reused across q blocks; the previous (bh, nq, nk) grid spent more
+    time in per-step dispatch than in its 0.3 us of MXU work per step
+    (40500 steps at the 9216-token level)."""
     q = q_ref[0]                                       # [BQ, D]
     bq, d = q.shape
-    k = k_ref[0]                                       # [BK, D]
-    v = v_ref[0]
-    block_k = k.shape[0]
+    skv_p = k_ref.shape[1]
+    nk = skv_p // block_k
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # [BQ, BK] f32
-    if need_mask:  # static: only when kv was padded
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
-            + j * block_k
-        s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
+    def chunk(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]   # [BK, D]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK] f32
+        if need_mask:  # static: only when kv was padded
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
+                + j * block_k
+            s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
 
-    m = m_scr[:]
-    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m - m_new)
-    m_scr[:] = m_new
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, chunk, (m0, l0, acc0))
 
-    @pl.when(j == nk - 1)
-    def _():
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
-                    ).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))           # [BQ, 1]
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _pad_to(x, n, axis):
@@ -82,7 +80,7 @@ def _pad_to(x, n, axis):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024):
-    """[BH, S, D] x [BH, Skv, D] -> [BH, S, D]."""
+    """[BH, S, D] x [BH, Skv, D] -> ([BH, S, D], lse [BH, S])."""
     bh, sq, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
@@ -96,69 +94,191 @@ def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024):
     kp = _pad_to(k, skv_p, 1)
     vp = _pad_to(v, skv_p, 1)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, seq_len_kv=skv,
-                          need_mask=skv_p != skv),
-        grid=(bh, sq_p // bq, skv_p // bk),
+                          block_k=bk, need_mask=skv_p != skv),
+        grid=(bh, sq_p // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32),
         ],
     )(qp, kp, vp)
-    return out[:, :sq]
+    return out[:, :sq], lse[:, :sq, 0]
 
 
-def _attention_bwd_chunk(q, k, v, g):
-    """Exact per-(b*h)-chunk gradients via standard math, f32."""
-    d = q.shape[-1]
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
+                    dk_ref, dv_ref, *, scale: float, seq_len_q: int,
+                    block_q: int, need_mask_q: bool):
+    """dK/dV for one kv block; the WHOLE q/do/lse/delta stay VMEM-resident
+    per batch-head and the q loop runs inside the kernel (grid = (bh, nkv)).
+    All matrices are computed k-major ([BK, BQ]) so the per-row lse/delta
+    broadcast along lanes — no in-kernel transposes."""
+    k = k_ref[0]                                        # [BK, D]
+    v = v_ref[0]
+    bk = k.shape[0]
+    d = k.shape[1]
+    sq_p = q_ref.shape[1]
+    nq = sq_p // block_q
+
+    def chunk(iq, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(iq * block_q, block_q), :]   # [BQ, D]
+        do = do_ref[0, pl.ds(iq * block_q, block_q), :]
+        lse = lse_ref[0, 0:1, pl.ds(iq * block_q, block_q)]  # [1, BQ]
+        dl = dl_ref[0, 0:1, pl.ds(iq * block_q, block_q)]
+        s_t = jax.lax.dot_general(                      # K @ Q^T [BK, BQ]
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p_t = jnp.exp(s_t - lse)
+        if need_mask_q:  # zero padded q rows (their lse is garbage)
+            qidx = jax.lax.broadcasted_iota(
+                jnp.int32, (bk, block_q), 1) + iq * block_q
+            p_t = jnp.where(qidx < seq_len_q, p_t, 0.0)
+        dv = dv + jax.lax.dot_general(                  # p^T @ dO
+            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(                     # V @ dO^T [BK, BQ]
+            v, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_t = (p_t * (dp_t - dl) * scale).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(                  # ds^T @ Q
+            ds_t, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, chunk, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
+                   dq_ref, *, scale: float, seq_len_kv: int,
+                   block_k: int, need_mask: bool):
+    """dQ for one q block; whole K/V VMEM-resident, kv loop inside
+    (grid = (bh, nq)). k-major like the dkv kernel."""
+    q = q_ref[0]                                        # [BQ, D]
+    do = do_ref[0]
+    lse = lse_ref[0, 0:1, :]                            # [1, BQ]
+    dl = dl_ref[0, 0:1, :]
+    bq, d = q.shape
+    skv_p = k_ref.shape[1]
+    nk = skv_p // block_k
+
+    def chunk(j, dq):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]    # [BK, D]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BK, BQ]
+        if need_mask:  # padded kv rows contribute nothing
+            kidx = jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, bq), 0) + j * block_k
+            s_t = jnp.where(kidx < seq_len_kv, s_t, NEG_INF)
+        p_t = jnp.exp(s_t - lse)
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_t = (p_t * (dp_t - dl) * scale).astype(q.dtype)
+        return dq + jax.lax.dot_general(                # ds^T... [BQ, D]
+            ds_t, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, nk, chunk,
+                           jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_backward(q, k, v, o, lse, g, block_q: int = 512,
+                    block_k: int = 1024):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
-    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g.astype(jnp.float32))
-    dp = jnp.einsum("bqd,bkd->bqk", g.astype(jnp.float32), v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q.astype(jnp.float32)) * scale
-    return dq, dk, dv
+
+    bq = min(block_q, max(8, sq))
+    sq_p = -(-sq // bq) * bq
+    bk = min(block_k, max(128, skv))
+    skv_p = -(-skv // bk) * bk
+
+    qp = _pad_to(q, sq_p, 1)
+    dop = _pad_to(g, sq_p, 1)
+    # delta = rowsum(dO * O); padded q rows get lse=+inf => p = 0.
+    # 8-sublane broadcast [bh, 8, sq_p]: row slices [1, BQ] broadcast along
+    # lanes inside the k-major kernels (no transposes)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dlp = _pad_to(delta, sq_p, 1)
+    lsep = jnp.pad(lse, ((0, 0), (0, sq_p - sq)), constant_values=1e30) \
+        if sq_p != sq else lse
+    dlp = jnp.broadcast_to(dlp[:, None, :], (bh, 8, sq_p))
+    lsep = jnp.broadcast_to(lsep[:, None, :], (bh, 8, sq_p))
+    kp = _pad_to(k, skv_p, 1)
+    vp = _pad_to(v, skv_p, 1)
+
+    q_res = pl.BlockSpec((1, sq_p, d), lambda b, jk: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    r_res = pl.BlockSpec((1, 8, sq_p), lambda b, jk: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, bk, d), lambda b, jk: (b, jk, 0),
+                          memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len_q=sq,
+                          block_q=bq, need_mask_q=sq_p != sq),
+        grid=(bh, skv_p // bk),
+        in_specs=[q_res, q_res, r_res, r_res, kv_blk, kv_blk],
+        out_specs=[kv_blk, kv_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+        ],
+    )(qp, dop, lsep, dlp, kp, vp)
+
+    q_blk = pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    r_blk = pl.BlockSpec((1, 8, bq), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+    kv_res = pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len_kv=skv,
+                          block_k=bk, need_mask=skv_p != skv),
+        grid=(bh, sq_p // bq),
+        in_specs=[q_blk, q_blk, r_blk, r_blk, kv_res, kv_res],
+        out_specs=q_blk,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+    )(qp, dop, lsep, dlp, kp, vp)
+
+    return dq[:, :sq], dk[:, :skv], dv[:, :skv]
 
 
 @jax.custom_vjp
 def _flash(q, k, v):
-    return _flash_forward(q, k, v)
+    out, _ = _flash_forward(q, k, v)
+    return out
 
 
 def _flash_fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    out, lse = _flash_forward(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(res, g):
-    q, k, v = res
-    bh = q.shape[0]
-    # chunk the fused batch*head axis to bound the O(S^2) transient
-    chunk = max(1, min(bh, 4))
-    nch = -(-bh // chunk)
-    qp = _pad_to(q, nch * chunk, 0).reshape(nch, chunk, *q.shape[1:])
-    kp = _pad_to(k, nch * chunk, 0).reshape(nch, chunk, *k.shape[1:])
-    vp = _pad_to(v, nch * chunk, 0).reshape(nch, chunk, *v.shape[1:])
-    gp = _pad_to(g, nch * chunk, 0).reshape(nch, chunk, *g.shape[1:])
-    dq, dk, dv = jax.lax.map(
-        lambda args: _attention_bwd_chunk(*args), (qp, kp, vp, gp))
-    dq = dq.reshape(-1, *q.shape[1:])[:bh].astype(q.dtype)
-    dk = dk.reshape(-1, *k.shape[1:])[:bh].astype(k.dtype)
-    dv = dv.reshape(-1, *v.shape[1:])[:bh].astype(v.dtype)
-    return dq, dk, dv
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, o, lse, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

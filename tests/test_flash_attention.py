@@ -64,3 +64,20 @@ def test_flash_gradients_match_xla(rng):
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_flash_gradients_nonsquare_padding(rng):
+    # padded q (lse rows) and padded kv (masked cols) in the fused backward
+    B, Sq, Skv, H, D = 1, 100, 75, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, Sq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Skv, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Skv, H, D)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(B, Sq, H, D)).astype(np.float32))
+
+    gf = jax.grad(lambda *a: jnp.sum((FA.flash_attention(*a) - tgt) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum((attention_xla(*a) - tgt) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
