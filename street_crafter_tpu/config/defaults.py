@@ -145,7 +145,8 @@ def default_config() -> Config:
             "sky": {"use_cube_map": False, "resolution": 1024,
                     "white_background": True},
             "use_color_correction": False,
-            "color_correction": {"mode": "image", "use_sky": False},
+            "color_correction": {"mode": "image", "use_sky": False,
+                                 "use_mlp": False},
             "use_pose_correction": False,
             "pose_correction": {"mode": "image"},
         },
@@ -195,6 +196,9 @@ def default_config() -> Config:
         "diffusion": {
             "use_diffusion": False,
             "tiny": False,          # test-size engine (no pretrained weights)
+            # engine compute dtype (precision.compute_dtype analog for the
+            # VDM stack); "" -> flax promotion (f32). Params stay f32.
+            "compute_dtype": "bfloat16",
             "config_path": "",
             "ckpt_path": "",
             "height": 576,

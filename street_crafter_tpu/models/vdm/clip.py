@@ -13,7 +13,7 @@ inputs in [-1, 1] -> bicubic resize to 224 -> [0, 1] -> CLIP mean/std.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,8 @@ class CLIPVisualConfig:
     layers: int = 32
     heads: int = 16
     output_dim: int = 1024
+    # compute dtype; None = flax promotion (see models/vdm/layers.py header)
+    dtype: Optional[str] = None
 
     @staticmethod
     def tiny() -> "CLIPVisualConfig":
@@ -40,18 +42,20 @@ class CLIPVisualConfig:
 
 class ResidualAttentionBlock(nn.Module):
     heads: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         width = x.shape[-1]
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(name="ln_1", dtype=dt)(x)
         h = nn.SelfAttention(num_heads=self.heads, qkv_features=width,
-                             name="attn", deterministic=True)(h)
+                             name="attn", deterministic=True, dtype=dt)(h)
         x = x + h
-        h = nn.LayerNorm(name="ln_2")(x)
-        h = nn.Dense(width * 4, name="mlp_fc")(h)
+        h = nn.LayerNorm(name="ln_2", dtype=dt)(x)
+        h = nn.Dense(width * 4, name="mlp_fc", dtype=dt)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(width, name="mlp_proj")(h)
+        h = nn.Dense(width, name="mlp_proj", dtype=dt)(h)
         return x + h
 
 
@@ -62,10 +66,11 @@ class CLIPVisual(nn.Module):
     def __call__(self, images: jax.Array) -> jax.Array:
         """[N, H, W, 3] preprocessed images -> [N, output_dim] embeddings."""
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype) if cfg.dtype else None
         n = images.shape[0]
         x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
-                    name="patch_embed")(images)
+                    name="patch_embed", dtype=dt)(images)
         x = x.reshape(n, -1, cfg.width)
         n_tok = x.shape[1]
         cls = self.param("class_embedding",
@@ -75,13 +80,14 @@ class CLIPVisual(nn.Module):
                          nn.initializers.normal(0.02),
                          (n_tok + 1, cfg.width))
         x = x + pos
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(name="ln_pre", dtype=dt)(x)
         for i in range(cfg.layers):
-            x = ResidualAttentionBlock(cfg.heads, name=f"resblock_{i}")(x)
-        x = nn.LayerNorm(name="ln_post")(x[:, 0])
+            x = ResidualAttentionBlock(cfg.heads, name=f"resblock_{i}",
+                                       dtype=dt)(x)
+        x = nn.LayerNorm(name="ln_post", dtype=dt)(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (cfg.width, cfg.output_dim))
-        return x @ proj
+        return x @ proj.astype(x.dtype)
 
 
 def clip_preprocess(images: jax.Array, size: int = 224) -> jax.Array:

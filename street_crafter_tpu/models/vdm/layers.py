@@ -10,13 +10,22 @@ convs; the weight converter transposes torch kernels accordingly.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import multi_head_attention
+
+# Mixed precision: every module takes a ``dtype`` (compute dtype) threaded
+# from the top-level config. dtype=None keeps flax promotion semantics
+# (f32 when params are f32); dtype=bf16 casts params+inputs to bf16 at each
+# layer, so f32 master params (training) and f32 side inputs (timestep
+# embeddings, cond masks) cannot silently promote the whole chain to f32 —
+# the round-1 bf16 eval leaked to f32 downstream of `h + emb` exactly this
+# way and ran the MXU at the f32 rate. Norm statistics stay f32 inside flax
+# regardless (normalization._compute_stats force_float32_reductions).
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,
@@ -36,13 +45,14 @@ class MLPEmbed(nn.Module):
     """linear -> SiLU -> linear (time_embed / label_emb / time_pos_embed)."""
     out_dim: int
     hidden_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         hidden = self.hidden_dim or self.out_dim
-        x = nn.Dense(hidden, name="fc1")(x)
+        x = nn.Dense(hidden, name="fc1", dtype=self.dtype)(x)
         x = nn.silu(x)
-        return nn.Dense(self.out_dim, name="fc2")(x)
+        return nn.Dense(self.out_dim, name="fc2", dtype=self.dtype)(x)
 
 
 class AlphaBlender(nn.Module):
@@ -60,15 +70,15 @@ class AlphaBlender(nn.Module):
         return a * x_spatial + (1.0 - a) * x_temporal
 
 
-def _norm(name="norm"):
+def _norm(name="norm", dtype=None):
     """openaimodel GroupNorm32: torch nn.GroupNorm default eps=1e-5."""
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name, dtype=dtype)
 
 
-def _norm_attn(name="norm"):
+def _norm_attn(name="norm", dtype=None):
     """attention.py Normalize: GroupNorm with eps=1e-6 (:141-142) — used by
     the (Spatial)Transformer's input norm, NOT by ResBlocks."""
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name, dtype=dtype)
 
 
 class ResBlock(nn.Module):
@@ -82,6 +92,7 @@ class ResBlock(nn.Module):
     exchange_temb_dims: bool = False  # temporal block gets [B, T, emb]
     up: bool = False
     down: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, emb):
@@ -91,9 +102,10 @@ class ResBlock(nn.Module):
             ks = (self.kernel_size,) * self.dims
         else:
             ks = tuple(self.kernel_size)
-        conv = lambda c, name: nn.Conv(c, ks, padding="SAME", name=name)
+        conv = lambda c, name: nn.Conv(c, ks, padding="SAME", name=name,
+                                       dtype=self.dtype)
 
-        h = nn.silu(_norm("in_norm")(x))
+        h = nn.silu(_norm("in_norm", self.dtype)(x))
         if self.up:
             h = upsample_nearest(h)
             x = upsample_nearest(x)
@@ -103,7 +115,8 @@ class ResBlock(nn.Module):
         h = conv(out_ch, "in_conv")(h)
 
         emb_dim = 2 * out_ch if self.use_scale_shift_norm else out_ch
-        emb_out = nn.Dense(emb_dim, name="emb_proj")(nn.silu(emb))
+        emb_out = nn.Dense(emb_dim, name="emb_proj",
+                           dtype=self.dtype)(nn.silu(emb))
         # broadcast emb over spatial dims: [B(,T),C] -> [B(,T),1,..,C].
         # torch's exchange_temb_dims moves T before C in NCTHW; in channels-
         # last layout a per-(batch, frame) emb broadcasts naturally.
@@ -111,18 +124,19 @@ class ResBlock(nn.Module):
             emb_out = jnp.expand_dims(emb_out, -2)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = _norm("out_norm")(h) * (1 + scale) + shift
+            h = _norm("out_norm", self.dtype)(h) * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = _norm("out_norm")(h)
+            h = _norm("out_norm", self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(out_ch, ks, padding="SAME", name="out_conv",
-                    kernel_init=nn.initializers.zeros)(h)
+                    kernel_init=nn.initializers.zeros, dtype=self.dtype)(h)
 
         if out_ch == ch_in:
             skip = x
         else:
-            skip = nn.Conv(out_ch, (1,) * self.dims, name="skip_conv")(x)
+            skip = nn.Conv(out_ch, (1,) * self.dims, name="skip_conv",
+                           dtype=self.dtype)(x)
         return skip + h
 
 
@@ -142,23 +156,26 @@ def avg_pool_nd(x):
 class Downsample(nn.Module):
     """Strided conv downsample (openaimodel.py Downsample, conv path)."""
     out_channels: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
         return nn.Conv(out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                       name="conv")(x)
+                       name="conv", dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):
     """Nearest 2x + conv (openaimodel.py Upsample)."""
     out_channels: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
         x = upsample_nearest(x)
-        return nn.Conv(out_ch, (3, 3), padding="SAME", name="conv")(x)
+        return nn.Conv(out_ch, (3, 3), padding="SAME", name="conv",
+                       dtype=self.dtype)(x)
 
 
 class VideoResBlock(nn.Module):
@@ -170,18 +187,21 @@ class VideoResBlock(nn.Module):
     merge_factor: float = 0.5
     up: bool = False
     down: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, emb, num_frames: int):
         x = ResBlock(out_channels=self.out_channels, dims=2,
-                     up=self.up, down=self.down, name="spatial")(x, emb)
+                     up=self.up, down=self.down, name="spatial",
+                     dtype=self.dtype)(x, emb)
         bt, H, W, C = x.shape
         b = bt // num_frames
         x_5d = x.reshape(b, num_frames, H, W, C)
         emb_5d = emb.reshape(b, num_frames, -1)
         h = ResBlock(out_channels=C, dims=3,
                      kernel_size=tuple(self.video_kernel_size),
-                     exchange_temb_dims=True, name="time_stack")(x_5d, emb_5d)
+                     exchange_temb_dims=True, name="time_stack",
+                     dtype=self.dtype)(x_5d, emb_5d)
         x_mix = AlphaBlender(self.merge_factor, self.merge_strategy,
                              name="time_mixer")(x_5d, h)
         return x_mix.reshape(bt, H, W, C)
@@ -192,14 +212,15 @@ class CrossAttention(nn.Module):
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(ctx)
         B, S, _ = q.shape
         Skv = k.shape[1]
         q = q.reshape(B, S, self.heads, self.dim_head)
@@ -208,20 +229,21 @@ class CrossAttention(nn.Module):
         out = multi_head_attention(q, k, v)
         out = out.reshape(B, S, inner)
         return nn.Dense(x.shape[-1] if self.context_dim is None else inner,
-                        name="to_out")(out)
+                        name="to_out", dtype=self.dtype)(out)
 
 
 class GEGLUFeedForward(nn.Module):
     """GEGLU feed-forward, mult=4 (attention.py FeedForward)."""
     mult: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
-        proj = nn.Dense(inner * 2, name="proj_in")(x)
+        proj = nn.Dense(inner * 2, name="proj_in", dtype=self.dtype)(x)
         a, b = jnp.split(proj, 2, axis=-1)
-        return nn.Dense(dim, name="proj_out")(a * nn.gelu(b))
+        return nn.Dense(dim, name="proj_out", dtype=self.dtype)(a * nn.gelu(b))
 
 
 class BasicTransformerBlock(nn.Module):
@@ -229,15 +251,19 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context=None):
-        x = CrossAttention(self.heads, self.dim_head, name="attn1")(
-            nn.LayerNorm(name="norm1")(x)) + x
+        dt = self.dtype
+        x = CrossAttention(self.heads, self.dim_head, name="attn1", dtype=dt)(
+            nn.LayerNorm(name="norm1", dtype=dt)(x)) + x
         x = CrossAttention(self.heads, self.dim_head,
-                           context_dim=self.context_dim, name="attn2")(
-            nn.LayerNorm(name="norm2")(x), context) + x
-        x = GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x)) + x
+                           context_dim=self.context_dim, name="attn2",
+                           dtype=dt)(
+            nn.LayerNorm(name="norm2", dtype=dt)(x), context) + x
+        x = GEGLUFeedForward(name="ff", dtype=dt)(
+            nn.LayerNorm(name="norm3", dtype=dt)(x)) + x
         return x
 
 
@@ -249,6 +275,7 @@ class VideoTransformerBlock(nn.Module):
     dim_head: int
     context_dim: Optional[int] = None
     ff_in: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context=None, num_frames: int = 1):
@@ -261,15 +288,18 @@ class VideoTransformerBlock(nn.Module):
             ctx = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
             context = jnp.repeat(ctx, S, axis=0)
 
+        dt = self.dtype
         if self.ff_in:
-            x = GEGLUFeedForward(name="ff_in")(
-                nn.LayerNorm(name="norm_in")(x)) + x
-        x = CrossAttention(self.heads, self.dim_head, name="attn1")(
-            nn.LayerNorm(name="norm1")(x)) + x
+            x = GEGLUFeedForward(name="ff_in", dtype=dt)(
+                nn.LayerNorm(name="norm_in", dtype=dt)(x)) + x
+        x = CrossAttention(self.heads, self.dim_head, name="attn1", dtype=dt)(
+            nn.LayerNorm(name="norm1", dtype=dt)(x)) + x
         x = CrossAttention(self.heads, self.dim_head,
-                           context_dim=self.context_dim, name="attn2")(
-            nn.LayerNorm(name="norm2")(x), context) + x
-        x = GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x)) + x
+                           context_dim=self.context_dim, name="attn2",
+                           dtype=dt)(
+            nn.LayerNorm(name="norm2", dtype=dt)(x), context) + x
+        x = GEGLUFeedForward(name="ff", dtype=dt)(
+            nn.LayerNorm(name="norm3", dtype=dt)(x)) + x
 
         x = x.reshape(b, S, num_frames, C).transpose(0, 2, 1, 3)
         return x.reshape(BT, S, C)
@@ -286,6 +316,7 @@ class SpatialVideoTransformer(nn.Module):
     merge_strategy: str = "learned_with_images"
     merge_factor: float = 0.5
     max_time_embed_period: int = 10000
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context=None, num_frames: int = 1):
@@ -297,28 +328,31 @@ class SpatialVideoTransformer(nn.Module):
         if self.use_spatial_context and context is not None:
             time_context = context  # handled per-block (frame-0 slice)
 
-        h = _norm_attn("norm")(x)
+        h = _norm_attn("norm", self.dtype)(x)
         h = h.reshape(BT, H * W, C)
-        h = nn.Dense(inner, name="proj_in")(h)  # use_linear_in_transformer
+        # use_linear_in_transformer
+        h = nn.Dense(inner, name="proj_in", dtype=self.dtype)(h)
 
         frames = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32),
                           BT // num_frames)
         t_emb = timestep_embedding(frames, C, self.max_time_embed_period)
-        emb = MLPEmbed(C, hidden_dim=C * 4, name="time_pos_embed")(t_emb)
+        emb = MLPEmbed(C, hidden_dim=C * 4, name="time_pos_embed",
+                       dtype=self.dtype)(t_emb)
         emb = emb[:, None]
 
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
-                name=f"block_{d}")(h, context)
+                name=f"block_{d}", dtype=self.dtype)(h, context)
             h_mix = h + emb
             h_mix = VideoTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
-                name=f"time_block_{d}")(h_mix, time_context, num_frames)
+                name=f"time_block_{d}", dtype=self.dtype)(
+                h_mix, time_context, num_frames)
             h = AlphaBlender(self.merge_factor, self.merge_strategy,
                              name="time_mixer")(h, h_mix)
 
-        h = nn.Dense(C, name="proj_out",
+        h = nn.Dense(C, name="proj_out", dtype=self.dtype,
                      kernel_init=nn.initializers.zeros)(h)
         h = h.reshape(BT, H, W, C)
         return h + x_in

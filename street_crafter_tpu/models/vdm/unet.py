@@ -17,7 +17,7 @@ Input layout is [B*T, H, W, C] channels-last.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,10 @@ class UNetConfig:
     # with use_checkpoint: True, waymo_high_res_mix.yaml:35); jax.checkpoint
     # rematerializes block activations in the backward pass
     remat: bool = True
+    # compute dtype ("bfloat16" for the TPU runtime paths; None = flax
+    # promotion, i.e. f32 with f32 params — used by the numerics tests).
+    # Params are stored f32 either way; see layers.py header.
+    dtype: Optional[str] = None
 
     @staticmethod
     def tiny() -> "UNetConfig":
@@ -78,10 +82,12 @@ class VideoUNet(nn.Module):
         cfg = self.cfg
         mc = cfg.model_channels
         ted = mc * 4
+        dt = jnp.dtype(cfg.dtype) if cfg.dtype else None
 
         t_emb = timestep_embedding(timesteps, mc)
-        emb_plain = MLPEmbed(ted, hidden_dim=ted, name="time_embed")(t_emb)
-        emb_cond = MLPEmbed(ted, hidden_dim=ted,
+        emb_plain = MLPEmbed(ted, hidden_dim=ted, name="time_embed",
+                             dtype=dt)(t_emb)
+        emb_cond = MLPEmbed(ted, hidden_dim=ted, dtype=dt,
                             name="cond_time_stack_embed")(t_emb)
         if cond_mask is not None:
             cm = cond_mask.astype(emb_plain.dtype)[:, None]
@@ -93,7 +99,8 @@ class VideoUNet(nn.Module):
             context = jnp.repeat(context, num_frames, axis=0)
         if y.shape[0] != x.shape[0]:
             y = jnp.repeat(y, num_frames, axis=0)
-        emb = emb + MLPEmbed(ted, hidden_dim=ted, name="label_emb")(y)
+        emb = emb + MLPEmbed(ted, hidden_dim=ted, name="label_emb",
+                             dtype=dt)(y)
 
         AttnCls = nn.remat(SpatialVideoTransformer, static_argnums=(3,)) \
             if cfg.remat else SpatialVideoTransformer
@@ -107,24 +114,25 @@ class VideoUNet(nn.Module):
                 context_dim=cfg.context_dim,
                 use_spatial_context=cfg.use_spatial_context,
                 merge_strategy=cfg.merge_strategy,
-                merge_factor=cfg.merge_factor, name=name)
+                merge_factor=cfg.merge_factor, name=name, dtype=dt)
 
         def res(out_ch, name):
             return ResCls(
                 out_channels=out_ch,
                 video_kernel_size=tuple(cfg.video_kernel_size),
                 merge_strategy=cfg.merge_strategy,
-                merge_factor=cfg.merge_factor, name=name)
+                merge_factor=cfg.merge_factor, name=name, dtype=dt)
 
         # ---- input blocks ------------------------------------------------
         hs = []
-        h = nn.Conv(mc, (3, 3), padding="SAME", name="input_conv")(x)
+        h = nn.Conv(mc, (3, 3), padding="SAME", name="input_conv",
+                    dtype=dt)(x)
 
         if guidance_input is not None:
-            g = nn.Conv(mc, (3, 3), padding="SAME",
+            g = nn.Conv(mc, (3, 3), padding="SAME", dtype=dt,
                         name="condition_conv_0")(guidance_input)
             g = nn.Conv(mc, (3, 3), padding="SAME", name="condition_conv_1",
-                        kernel_init=nn.initializers.zeros)(g)
+                        kernel_init=nn.initializers.zeros, dtype=dt)(g)
             if guidance_scale is None:
                 scale = jnp.ones((), h.dtype)
             else:
@@ -148,7 +156,7 @@ class VideoUNet(nn.Module):
                 block_chans.append(ch)
             if level != len(cfg.channel_mult) - 1:
                 ds *= 2
-                h = Downsample(ch, name=f"down_{level}")(h)
+                h = Downsample(ch, name=f"down_{level}", dtype=dt)(h)
                 hs.append(h)
                 block_chans.append(ch)
 
@@ -170,8 +178,8 @@ class VideoUNet(nn.Module):
                              f"out_{level}_{i}_attn")(h, context, num_frames)
                 if level and i == cfg.num_res_blocks:
                     ds //= 2
-                    h = Upsample(ch, name=f"up_{level}")(h)
+                    h = Upsample(ch, name=f"up_{level}", dtype=dt)(h)
 
-        h = nn.silu(_norm("out_norm")(h))
-        return nn.Conv(cfg.out_channels, (3, 3), padding="SAME",
+        h = nn.silu(_norm("out_norm", dt)(h))
+        return nn.Conv(cfg.out_channels, (3, 3), padding="SAME", dtype=dt,
                        name="out_conv", kernel_init=nn.initializers.zeros)(h)

@@ -13,7 +13,7 @@ Layout: [N, H, W, C] (N = B*T); temporal ops reshape to [B, T, H, W, C].
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -30,35 +30,40 @@ class VAEConfig:
     double_z: bool = True
     video_kernel_size: Sequence[int] = (3, 1, 1)
     scale_factor: float = 0.18215
+    # compute dtype; None = flax promotion (see models/vdm/layers.py header)
+    dtype: Optional[str] = None
 
     @staticmethod
     def tiny() -> "VAEConfig":
         return VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1)
 
 
-def _norm(name):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
+def _norm(name, dtype=None):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name, dtype=dtype)
 
 
-def _norm_small(name, ch):
+def _norm_small(name, ch, dtype=None):
     groups = min(32, ch)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name,
+                        dtype=dtype)
 
 
 class ResnetBlock(nn.Module):
     """model.py ResnetBlock (no temb in the autoencoder path)."""
     out_channels: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         ch_in = x.shape[-1]
         out_ch = self.out_channels or ch_in
-        h = nn.silu(_norm_small("norm1", ch_in)(x))
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
-        h = nn.silu(_norm_small("norm2", out_ch)(h))
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv2")(h)
+        h = nn.silu(_norm_small("norm1", ch_in, dt)(x))
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1", dtype=dt)(h)
+        h = nn.silu(_norm_small("norm2", out_ch, dt)(h))
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv2", dtype=dt)(h)
         if out_ch != ch_in:
-            x = nn.Conv(out_ch, (1, 1), name="nin_shortcut")(x)
+            x = nn.Conv(out_ch, (1, 1), name="nin_shortcut", dtype=dt)(x)
         return x + h
 
 
@@ -66,15 +71,17 @@ class TemporalResBlock(nn.Module):
     """3D ResBlock with skip_t_emb (openaimodel ResBlock dims=3) used as the
     VideoResBlock time_stack (temporal_ae.py:25-37). Input [B,T,H,W,C]."""
     kernel_size: Sequence[int] = (3, 1, 1)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         ch = x.shape[-1]
         ks = tuple(self.kernel_size)
-        h = nn.silu(_norm_small("in_norm", ch)(x))
-        h = nn.Conv(ch, ks, padding="SAME", name="in_conv")(h)
-        h = nn.silu(_norm_small("out_norm", ch)(h))
-        h = nn.Conv(ch, ks, padding="SAME", name="out_conv",
+        h = nn.silu(_norm_small("in_norm", ch, dt)(x))
+        h = nn.Conv(ch, ks, padding="SAME", name="in_conv", dtype=dt)(h)
+        h = nn.silu(_norm_small("out_norm", ch, dt)(h))
+        h = nn.Conv(ch, ks, padding="SAME", name="out_conv", dtype=dt,
                     kernel_init=nn.initializers.zeros)(h)
         return x + h
 
@@ -84,38 +91,42 @@ class VideoResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     video_kernel_size: Sequence[int] = (3, 1, 1)
     alpha: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, num_frames: int):
-        x = ResnetBlock(self.out_channels, name="spatial")(x)
+        x = ResnetBlock(self.out_channels, name="spatial",
+                        dtype=self.dtype)(x)
         bt, H, W, C = x.shape
         b = bt // num_frames
         x5 = x.reshape(b, num_frames, H, W, C)
         h = TemporalResBlock(tuple(self.video_kernel_size),
-                             name="time_stack")(x5)
+                             name="time_stack", dtype=self.dtype)(x5)
         mix = self.param("mix_factor", lambda k: jnp.full((1,), self.alpha))
-        a = jax.nn.sigmoid(mix)[0]
-        out = a * h + (1.0 - a) * x5
+        a = jax.nn.sigmoid(mix)[0].astype(h.dtype)
+        out = a * h + (1.0 - a) * x5.astype(h.dtype)
         return out.reshape(bt, H, W, C)
 
 
 class AttnBlock(nn.Module):
     """Single-head bottleneck attention (model.py AttnBlock, vanilla)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         N, H, W, C = x.shape
-        h = _norm_small("norm", C)(x)
-        q = nn.Conv(C, (1, 1), name="q")(h).reshape(N, H * W, C)
-        k = nn.Conv(C, (1, 1), name="k")(h).reshape(N, H * W, C)
-        v = nn.Conv(C, (1, 1), name="v")(h).reshape(N, H * W, C)
+        h = _norm_small("norm", C, dt)(x)
+        q = nn.Conv(C, (1, 1), name="q", dtype=dt)(h).reshape(N, H * W, C)
+        k = nn.Conv(C, (1, 1), name="k", dtype=dt)(h).reshape(N, H * W, C)
+        v = nn.Conv(C, (1, 1), name="v", dtype=dt)(h).reshape(N, H * W, C)
         attn = jax.nn.softmax(
             jnp.einsum("nqc,nkc->nqk", q, k,
                        preferred_element_type=jnp.float32) * (C ** -0.5), -1)
         h = jnp.einsum("nqk,nkc->nqc", attn.astype(v.dtype), v)
         h = h.reshape(N, H, W, C)
-        h = nn.Conv(C, (1, 1), name="proj_out")(h)
-        return x + h
+        h = nn.Conv(C, (1, 1), name="proj_out", dtype=dt)(h)
+        return x.astype(h.dtype) + h
 
 
 class Encoder(nn.Module):
@@ -124,21 +135,25 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        h = nn.Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in")(x)
+        dt = jnp.dtype(cfg.dtype) if cfg.dtype else None
+        h = nn.Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in",
+                    dtype=dt)(x)
         for level, mult in enumerate(cfg.ch_mult):
             for i in range(cfg.num_res_blocks):
-                h = ResnetBlock(cfg.ch * mult, name=f"down_{level}_block_{i}")(h)
+                h = ResnetBlock(cfg.ch * mult, name=f"down_{level}_block_{i}",
+                                dtype=dt)(h)
             if level != len(cfg.ch_mult) - 1:
                 # asymmetric pad (0,1) then stride-2 conv (model.py Downsample)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2),
+                h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2), dtype=dt,
                             padding="VALID", name=f"down_{level}_downsample")(h)
-        h = ResnetBlock(name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(name="mid_block_2")(h)
-        h = nn.silu(_norm_small("norm_out", h.shape[-1])(h))
+        h = ResnetBlock(name="mid_block_1", dtype=dt)(h)
+        h = AttnBlock(name="mid_attn_1", dtype=dt)(h)
+        h = ResnetBlock(name="mid_block_2", dtype=dt)(h)
+        h = nn.silu(_norm_small("norm_out", h.shape[-1], dt)(h))
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        return nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        return nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out",
+                       dtype=dt)(h)
 
 
 class Decoder(nn.Module):
@@ -149,35 +164,38 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, num_frames: int = 1):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype) if cfg.dtype else None
 
         def res(out_ch, name):
             if self.video:
                 blk = VideoResnetBlock(out_ch, tuple(cfg.video_kernel_size),
-                                       name=name)
+                                       name=name, dtype=dt)
                 return lambda h: blk(h, num_frames)
-            blk = ResnetBlock(out_ch, name=name)
+            blk = ResnetBlock(out_ch, name=name, dtype=dt)
             return blk
 
         block_in = cfg.ch * cfg.ch_mult[-1]
-        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
+        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in",
+                    dtype=dt)(z)
         h = res(block_in, "mid_block_1")(h)
-        h = AttnBlock(name="mid_attn_1")(h)
+        h = AttnBlock(name="mid_attn_1", dtype=dt)(h)
         h = res(block_in, "mid_block_2")(h)
         for level, mult in list(enumerate(cfg.ch_mult))[::-1]:
             for i in range(cfg.num_res_blocks + 1):
                 h = res(cfg.ch * mult, f"up_{level}_block_{i}")(h)
             if level != 0:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
+                h = nn.Conv(h.shape[-1], (3, 3), padding="SAME", dtype=dt,
                             name=f"up_{level}_upsample")(h)
-        h = nn.silu(_norm_small("norm_out", h.shape[-1])(h))
-        h = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        h = nn.silu(_norm_small("norm_out", h.shape[-1], dt)(h))
+        h = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out",
+                    dtype=dt)(h)
         if self.video:
             bt, H, W, C = h.shape
             b = bt // num_frames
             h5 = h.reshape(b, num_frames, H, W, C)
             h5 = nn.Conv(cfg.out_ch, tuple(cfg.video_kernel_size),
-                         padding="SAME", name="conv_out_time_mix")(h5)
+                         padding="SAME", name="conv_out_time_mix", dtype=dt)(h5)
             h = h5.reshape(bt, H, W, C)
         return h
 

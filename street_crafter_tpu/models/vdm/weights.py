@@ -26,8 +26,14 @@ def engine_from_config(dcfg) -> EngineConfig:
         base = EngineConfig.tiny(num_frames=dcfg.sample_frames,
                                  num_steps=dcfg.num_steps)
         return base
+    # compute dtype for the full-size engine (cfg.precision.compute_dtype
+    # threads here via the diffusion node; params stay f32 masters). The
+    # runtime paths default to bf16 — the MXU's native rate; see
+    # models/vdm/layers.py header for the promotion-leak rationale.
+    dt = dcfg.get("compute_dtype", "bfloat16") or None
     return EngineConfig(
-        unet=UNetConfig(), vae=VAEConfig(), clip=CLIPVisualConfig(),
+        unet=UNetConfig(dtype=dt), vae=VAEConfig(dtype=dt),
+        clip=CLIPVisualConfig(dtype=dt),
         num_frames=dcfg.sample_frames,
         num_steps=dcfg.num_steps,
         cfg_scale=dcfg.cfg_scale,

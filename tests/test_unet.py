@@ -108,3 +108,47 @@ def test_cond_mask_switches_time_embedding(tiny_unet):
     d = np.abs(np.asarray(out0) - np.asarray(out1))
     assert d[0].max() > 1e-7      # frame 0 uses the cond embedding
     assert d[1:].max() == 0.0     # other frames unchanged
+
+
+def test_unet_bf16_policy_matches_f32(tiny_unet):
+    """dtype='bfloat16' computes in bf16 with f32 params and stays close to
+    the f32 result (mixed-precision policy, models/vdm/layers.py header)."""
+    import dataclasses
+    model, params, (T, H, W, cfg) = tiny_unet
+    cfg16 = dataclasses.replace(cfg, dtype="bfloat16")
+    m16 = VideoUNet(cfg16)
+    x = jax.random.normal(jax.random.PRNGKey(7), (T, H, W, cfg.in_channels))
+    t = jnp.full((T,), 0.5)
+    ctx = jnp.ones((1, 2, cfg.context_dim))
+    y = jnp.ones((1, cfg.adm_in_channels))
+    # perturb the zero-init out conv so outputs are non-trivial
+    import flax
+    p = flax.core.unfreeze(params)
+    p["params"]["out_conv"]["kernel"] = jnp.full_like(
+        p["params"]["out_conv"]["kernel"], 0.02)
+    ref = model.apply(p, x, t, ctx, y, num_frames=T)
+    out = m16.apply(p, x, t, ctx, y, num_frames=T)
+    assert out.dtype == jnp.bfloat16
+    assert jax.tree.leaves(p)[0].dtype == jnp.float32
+    ref_n = np.asarray(ref, np.float32)
+    out_n = np.asarray(out, np.float32)
+    denom = np.abs(ref_n).mean() + 1e-6
+    assert np.abs(ref_n - out_n).mean() / denom < 0.1
+
+
+def test_unet_bf16_policy_grads_f32(tiny_unet):
+    import dataclasses
+    model, params, (T, H, W, cfg) = tiny_unet
+    cfg16 = dataclasses.replace(cfg, dtype="bfloat16")
+    m16 = VideoUNet(cfg16)
+    x = jax.random.normal(jax.random.PRNGKey(8), (T, H, W, cfg.in_channels))
+
+    def loss(p):
+        out = m16.apply(p, x, jnp.full((T,), 0.5),
+                        jnp.ones((1, 2, cfg.context_dim)),
+                        jnp.ones((1, cfg.adm_in_channels)), num_frames=T)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
