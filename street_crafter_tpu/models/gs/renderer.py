@@ -23,6 +23,7 @@ from ...ops import sh as SH
 from ...ops.cubemap import sample_cubemap
 from ...ops.gs_projection import project_gaussians
 from ...ops.gs_raster import rasterize_pixels
+from ...ops.gs_raster_fused import rasterize_pixels_fused
 from ...ops.maths import get_rays
 from ..gs.scene import FlatGaussians, SceneMeta, SceneParams, flatten_scene
 
@@ -46,6 +47,9 @@ def render_flat(
     bf16_composite: bool = False,
     recall_target: float = 0.95,
     with_stats: bool = False,
+    method: str = "xla",   # "fused": Pallas forward-only compositing
+    # (eval/trajectory rendering; no fine-capacity drops, early-exit on
+    # saturation); "xla": differentiable path (training, absgrad)
 ) -> dict[str, jax.Array]:
     """Render a flat gaussian soup. Returns rgb [H,W,3], acc, depth, radii,
     visibility."""
@@ -71,12 +75,19 @@ def render_flat(
     # depth as extra channel (renderer :265-287)
     chan = jnp.concatenate([colors, proj.depths[:, None]], -1)
 
-    out = rasterize_pixels(
-        u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
-        proj.depths, proj.valid, proj.radii, absgrad_sink=absgrad_sink,
-        width=width, height=height, tile_size=tile_size,
-        max_per_tile=max_per_tile, bf16_composite=bf16_composite,
-        recall_target=recall_target, with_stats=with_stats)
+    if method == "fused":
+        out = rasterize_pixels_fused(
+            u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
+            proj.depths, proj.valid, proj.radii,
+            width=width, height=height, tile_size=tile_size,
+            recall_target=recall_target)
+    else:
+        out = rasterize_pixels(
+            u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
+            proj.depths, proj.valid, proj.radii, absgrad_sink=absgrad_sink,
+            width=width, height=height, tile_size=tile_size,
+            max_per_tile=max_per_tile, bf16_composite=bf16_composite,
+            recall_target=recall_target, with_stats=with_stats)
 
     rgb = out.colors[..., :3]
     depth = out.colors[..., 3] / jnp.maximum(out.alpha, 1e-10)
@@ -120,6 +131,7 @@ def render_scene(
     bf16_composite: bool = False,
     recall_target: float = 0.95,
     with_stats: bool = False,
+    method: str = "xla",
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -149,7 +161,7 @@ def render_scene(
         antialiasing=antialiasing, viewspace_zero=viewspace_zero,
         absgrad_sink=absgrad_sink,
         bf16_composite=bf16_composite, recall_target=recall_target,
-        with_stats=with_stats)
+        with_stats=with_stats, method=method)
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(
@@ -162,7 +174,7 @@ def render_scene(
             max_per_tile=max_per_tile, antialiasing=antialiasing,
             viewspace_zero=viewspace_zero_sky,
             absgrad_sink=absgrad_sink_sky,
-            bf16_composite=bf16_composite)
+            bf16_composite=bf16_composite, method=method)
         result["rgb"] = result["rgb"] + sky_res["rgb"] * (1.0 - result["acc"][..., None])
         result["acc_sky"] = sky_res["acc"]
         result["radii_sky"] = sky_res["radii"]
@@ -182,6 +194,15 @@ def render_scene(
         cc = params.color_corr[image_idx]  # [3, 4]
         rgb = result["rgb"]
         result["rgb"] = jnp.einsum("hwc,dc->hwd", rgb, cc[:, :3]) + cc[:, 3]
+    elif getattr(params, "color_mlp", None) is not None:
+        # pose-conditioned MLP mode (color_correction.py:117-127)
+        from .color_mlp import apply_color_mlp
+        cc = apply_color_mlp(params.color_mlp, w2c)
+        rgb = result["rgb"]
+        result["rgb"] = jnp.einsum("hwc,dc->hwd", rgb, cc[:, :3]) + cc[:, 3]
+        result["cc_mat"] = cc
+        if params.color_mlp_sky is not None:
+            result["cc_mat_sky"] = apply_color_mlp(params.color_mlp_sky, w2c)
 
     if clamp:
         result["rgb"] = jnp.clip(result["rgb"], 0.0, 1.0)

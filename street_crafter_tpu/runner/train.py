@@ -41,9 +41,17 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
                      with_stats: bool = False):
     """Eval renders at TRAINING fidelity by default (recall 0.95, f32
     compositing) so reported PSNR measures the model, not the fast path.
-    The cheap inference path (recall 0.85 + bf16, used for trajectory videos
-    and bench) is opt-in via ``cfg.eval.fast``."""
+    The cheap inference path (used for trajectory videos and bench) is
+    opt-in via ``cfg.eval.fast``; it uses the fused Pallas compositing
+    kernel (``render.eval_method``, ops/gs_raster_fused.py) which composites
+    the full coarse candidate list with row-level early exit — faster than
+    the XLA fine stage at full resolution AND without its fine-capacity
+    drops."""
     fast = bool(cfg.eval.get("fast", False))
+    # the occupancy-stats probe (with_stats) instruments the XLA binning
+    # path — the fused kernel has no fine stage to instrument
+    method = (str(cfg.render.get("eval_method", "fused"))
+              if fast and not with_stats else "xla")
     @jax.jit
     def eval_render(params, camera, batch):
         out = render_scene(
@@ -59,7 +67,7 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
                                                         True)),
             recall_target=float(cfg.render.get("eval_recall_target", 0.85))
             if fast else float(cfg.render.get("recall_target", 0.95)),
-            with_stats=with_stats)
+            with_stats=with_stats, method=method)
         return out
     return eval_render
 

@@ -1,0 +1,111 @@
+"""Fused Pallas compositing path (ops/gs_raster_fused.py) vs the exact XLA
+rasterizer. Runs in Pallas interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from street_crafter_tpu.ops.gs_raster import rasterize_pixels
+from street_crafter_tpu.ops.gs_raster_fused import rasterize_pixels_fused
+
+
+def make_scene(n, W, H, seed=0, opa_range=(0.2, 0.9)):
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(0, W, n).astype(np.float32)
+    v = rng.uniform(0, H, n).astype(np.float32)
+    sc = rng.uniform(1.0, 6.0, n).astype(np.float32)
+    ca = 1.0 / sc ** 2
+    cc = 1.0 / (sc * 0.8) ** 2
+    cb = np.zeros(n, np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    opa = rng.uniform(*opa_range, n).astype(np.float32)
+    dep = rng.uniform(1, 50, n).astype(np.float32)
+    val = np.ones(n, bool)
+    rad = 3 * sc
+    return [jnp.asarray(x) for x in (u, v, ca, cb, cc, cols, opa, dep, val,
+                                     rad)]
+
+
+def test_fused_matches_exact():
+    W, H, n = 128, 64, 1200
+    args = make_scene(n, W, H)
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=n,
+                                 select_method="exact")
+    mse = float(jnp.mean((ref.colors - out.colors) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 60.0, psnr
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=5e-3)
+
+
+def test_fused_early_exit_saturated_scene():
+    # near-opaque splats everywhere: the while_loop exits after the first
+    # block(s); the truncated tail must be invisible (T < 1/255)
+    W, H, n = 128, 64, 2000
+    args = make_scene(n, W, H, seed=1, opa_range=(0.95, 0.99))
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=n,
+                                 select_method="exact")
+    mse = float(jnp.mean((ref.colors - out.colors) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 55.0
+
+
+def test_fused_capacity_padding_and_invalid():
+    # kc not a multiple of 128 gets padded; invalid gaussians are dropped
+    W, H, n = 128, 64, 700
+    args = make_scene(n, W, H, seed=2)
+    valid = np.ones(n, bool)
+    valid[::3] = False
+    args[8] = jnp.asarray(valid)
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=n,
+                                 select_method="exact")
+    mse = float(jnp.mean((ref.colors - out.colors) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 60.0
+
+
+def test_fused_renderer_dispatch():
+    from street_crafter_tpu.datasets import Camera
+    from street_crafter_tpu.models.gs.renderer import render_flat
+    from street_crafter_tpu.models.gs.scene import FlatGaussians
+    from street_crafter_tpu.models.gs.params import init_pool_from_points
+
+    rng = np.random.default_rng(3)
+    n = 400
+    pts = np.stack([rng.uniform(-5, 5, n), rng.uniform(-2, 2, n),
+                    rng.uniform(3, 20, n)], -1).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    pool = init_pool_from_points(pts, cols, capacity=n, fixed_scale=0.1,
+                                 init_opacity=0.8)
+    flat = FlatGaussians(
+        xyz=pool.xyz, rotation=pool.get_rotation(),
+        scaling=pool.get_scaling(), opacity=pool.get_opacity()[:, 0],
+        shs=pool.get_features(), valid=pool.valid)
+    W, H = 128, 64
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    cam = Camera.from_c2w(np.eye(4, dtype=np.float32), K, W, H)
+    ref = render_flat(flat, cam.w2c, jnp.asarray(K), cam.camera_center, W, H,
+                      sh_degree=1, tile_size=16, max_per_tile=n,
+                      method="xla")
+    out = render_flat(flat, cam.w2c, jnp.asarray(K), cam.camera_center, W, H,
+                      sh_degree=1, tile_size=16, method="fused")
+    # depth channel rides as channel 3 in both paths
+    mse = float(jnp.mean((ref["rgb"] - out["rgb"]) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 45.0, mse
+    np.testing.assert_allclose(np.asarray(out["acc"]), np.asarray(ref["acc"]),
+                               atol=2e-2)
+    d_ref = np.asarray(ref["depth"])
+    d_out = np.asarray(out["depth"])
+    m = np.asarray(ref["acc"]) > 0.5
+    np.testing.assert_allclose(d_out[m], d_ref[m], rtol=0.05)
