@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,14 +151,21 @@ def build_scene_params(info: SceneInfo, ply_paths: dict[str, str],
         opt_theta = jnp.zeros((C, F, A, 1), jnp.float32)
 
     color_corr = color_corr_sky = None
+    color_mlp = color_mlp_sky = None
     if cfg.model.use_color_correction:
-        n = (info.metadata["num_images"]
-             if cfg.model.color_correction.mode == "image"
-             else info.metadata["num_cams"])
-        eye = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
-        color_corr = jnp.tile(eye[None], (n, 1, 1))
-        if cfg.model.color_correction.use_sky:
-            color_corr_sky = jnp.tile(eye[None], (n, 1, 1))
+        if cfg.model.color_correction.get("use_mlp", False):
+            from .color_mlp import init_color_mlp
+            color_mlp = init_color_mlp(jax.random.PRNGKey(0))
+            if cfg.model.color_correction.use_sky:
+                color_mlp_sky = init_color_mlp(jax.random.PRNGKey(1))
+        else:
+            n = (info.metadata["num_images"]
+                 if cfg.model.color_correction.mode == "image"
+                 else info.metadata["num_cams"])
+            eye = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
+            color_corr = jnp.tile(eye[None], (n, 1, 1))
+            if cfg.model.color_correction.use_sky:
+                color_corr_sky = jnp.tile(eye[None], (n, 1, 1))
 
     pose_quat = pose_trans = None
     if cfg.model.use_pose_correction:
@@ -170,7 +178,8 @@ def build_scene_params(info: SceneInfo, ply_paths: dict[str, str],
         bkgd=bkgd, actors=actors, sky=sky,
         opt_trans=opt_trans, opt_theta=opt_theta, sky_cubemap=sky_cubemap,
         color_corr=color_corr, color_corr_sky=color_corr_sky,
-        pose_corr_quat=pose_quat, pose_corr_trans=pose_trans)
+        pose_corr_quat=pose_quat, pose_corr_trans=pose_trans,
+        color_mlp=color_mlp, color_mlp_sky=color_mlp_sky)
     return params, meta
 
 

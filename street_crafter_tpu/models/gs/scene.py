@@ -48,6 +48,10 @@ class SceneParams:
     color_corr_sky: jax.Array | None   # [M, 3, 4]
     pose_corr_quat: jax.Array | None   # [M, 4]
     pose_corr_trans: jax.Array | None  # [M, 3]
+    # pose-conditioned MLP variant (color_correction.py use_mlp): flat
+    # name->array dicts (models/gs/color_mlp.py); None in table mode
+    color_mlp: dict | None = None
+    color_mlp_sky: dict | None = None
 
 
 @jax.tree_util.register_dataclass

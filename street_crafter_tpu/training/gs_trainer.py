@@ -50,10 +50,27 @@ class GSTrainState:
 def _misc_params(params: SceneParams) -> dict[str, jax.Array]:
     out = {}
     for name in ("opt_trans", "opt_theta", "sky_cubemap", "color_corr",
-                 "color_corr_sky", "pose_corr_quat", "pose_corr_trans"):
-        val = getattr(params, name)
-        if val is not None:
+                 "color_corr_sky", "pose_corr_quat", "pose_corr_trans",
+                 "color_mlp", "color_mlp_sky"):
+        val = getattr(params, name, None)
+        if val is None:
+            continue
+        if isinstance(val, dict):   # MLP param dicts -> dotted flat names
+            for k, v in val.items():
+                out[f"{name}.{k}"] = v
+        else:
             out[name] = val
+    return out
+
+
+def _unflatten_misc(flat: dict[str, jax.Array]) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        if "." in k:
+            base, sub = k.split(".", 1)
+            out.setdefault(base, {})[sub] = v
+        else:
+            out[k] = v
     return out
 
 
@@ -109,8 +126,10 @@ def misc_lrs(cfg: Config, step: jax.Array, keys) -> dict[str, jax.Array]:
         "color_corr_sky": f(o.color_correction_lr),
         "pose_corr_quat": f(o.pose_correction_lr),
         "pose_corr_trans": f(o.pose_correction_lr),
+        "color_mlp": f(o.color_correction_lr),
+        "color_mlp_sky": f(o.color_correction_lr),
     }
-    return {k: table[k] for k in keys}
+    return {k: table[k.split(".", 1)[0]] for k in keys}
 
 
 class StepOutput(NamedTuple):
@@ -190,10 +209,18 @@ def make_train_step(
                 acc_obj = out_obj["acc"]
             scaling = p.bkgd.get_scaling() if p.bkgd is not None else None
             valid = p.bkgd.valid if p.bkgd is not None else None
+            cc_reg = p.color_corr
+            cc_reg_sky = p.color_corr_sky
+            if cc_reg is None and "cc_mat" in out:
+                # MLP mode: regularize the evaluated affine (the reference's
+                # cur_affine_trans, color_correction.py:140-146)
+                cc_reg = out["cc_mat"][None]
+                cc_reg_sky = (out["cc_mat_sky"][None]
+                              if "cc_mat_sky" in out else None)
             loss, scalars = compute_train_loss(
                 out, batch, weights, is_novel=is_novel, lpips_fn=lpips_fn,
                 scene_scaling=scaling, scene_valid=valid,
-                color_corr=p.color_corr, color_corr_sky=p.color_corr_sky,
+                color_corr=cc_reg, color_corr_sky=cc_reg_sky,
                 acc_obj=acc_obj)
             return loss, (scalars, out)
 
@@ -289,7 +316,8 @@ def make_train_step(
             gmisc = _misc_params(gparams)
             mlrs = misc_lrs(cfg, step, misc.keys())
             new_misc, adam_m2 = adam_update(misc, gmisc, state.adam_misc, mlrs)
-            new_params = dataclasses.replace(new_params, **new_misc)
+            new_params = dataclasses.replace(
+                new_params, **_unflatten_misc(new_misc))
             new_state = dataclasses.replace(new_state, adam_misc=adam_m2)
 
         new_state = dataclasses.replace(

