@@ -60,14 +60,17 @@ class ShardingRules:
         return shard_batch(self.mesh, self.data_axis)
 
     def opt_state_spec(self, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
-        """Shard optimizer moments along their largest divisible dim."""
+        """Shard optimizer moments along the largest *divisible* dim,
+        falling back through smaller dims before replicating (a leaf whose
+        largest dim is odd, e.g. CLIP pos-emb [257, 1280], still shards on
+        its second dim)."""
         data = self.mesh.shape.get(self.data_axis, 1)
         if data <= 1 or leaf.ndim == 0:
             return replicated(self.mesh)
         dims = list(leaf.shape)
-        best = max(range(len(dims)), key=lambda i: dims[i])
-        if dims[best] % data != 0:
-            return replicated(self.mesh)
-        spec = [None] * len(dims)
-        spec[best] = self.data_axis
-        return NamedSharding(self.mesh, P(*spec))
+        for best in sorted(range(len(dims)), key=lambda i: -dims[i]):
+            if dims[best] % data == 0:
+                spec = [None] * len(dims)
+                spec[best] = self.data_axis
+                return NamedSharding(self.mesh, P(*spec))
+        return replicated(self.mesh)

