@@ -1,9 +1,17 @@
 """Benchmark entry: prints ONE JSON line.
 
-Round-1 headline: 3DGS trajectory-render throughput (FPS) on a synthetic
-street-scale scene at Waymo-like resolution, on the available accelerator.
-Baseline target: >= 60 FPS (BASELINE.md north star; the reference publishes
-no render-throughput number, so vs_baseline is FPS / 60).
+Headline: 3DGS trajectory-render throughput (FPS) at full Waymo dataset
+resolution (1066x1600 after the reference's 1600-px cap,
+street_gaussian/utils/camera_utils.py:150-160) on a trained-scene-statistics
+buffer: 600k splats, heavy-tailed log-normal radii, bimodal opacities —
+the post-densification regime, not a favorable uniform slab (VERDICT r1
+weak #8). Render path: fused Pallas compositing (ops/gs_raster_fused.py),
+the inference/trajectory path. vs_baseline is FPS / 60 (BASELINE.md north
+star; the reference publishes no render-throughput number).
+
+Extra fields in the same JSON object: the round-1-comparable 640x960/200k
+metric and the raster capacity-overflow counters for the headline scene
+(must be zero or reported — silent drops invalidate the number).
 """
 
 from __future__ import annotations
@@ -17,9 +25,9 @@ import numpy as np
 
 
 def build_scene(n: int, seed: int = 0):
+    """Round-1 uniform slab (kept for cross-round comparability)."""
     from street_crafter_tpu.models.gs.params import init_pool_from_points
     rng = np.random.default_rng(seed)
-    # street-like slab of points ahead of the camera
     pts = np.stack([
         rng.uniform(-30, 30, n),
         rng.uniform(-5, 5, n),
@@ -29,47 +37,133 @@ def build_scene(n: int, seed: int = 0):
                                  init_opacity=0.8)
 
 
-def main():
-    from street_crafter_tpu.datasets import Camera
-    from street_crafter_tpu.models.gs.renderer import render_flat
-    from street_crafter_tpu.models.gs.scene import FlatGaussians
+def build_trained_like_scene(n: int, seed: int = 0):
+    """Post-densification statistics: trained street scenes have
+    heavy-tailed radii (many needle-thin near-surface splats + a long tail
+    of large low-opacity blobs), bimodal opacities (sigmoid pushes most
+    splats toward ~0 or ~1 over training), anisotropic scales, and
+    street-shaped geometry (ground plane + facades + scattered clutter)."""
+    from street_crafter_tpu.models.gs.params import GaussianPool
+    rng = np.random.default_rng(seed)
 
-    N = 200_000
-    H, W = 640, 960
-    pool = build_scene(N)
-    flat = FlatGaussians(
+    n_ground = n // 2
+    n_wall = n // 3
+    n_scatter = n - n_ground - n_wall
+    ground = np.stack([rng.uniform(-40, 40, n_ground),
+                       1.6 + rng.normal(0, 0.05, n_ground),
+                       rng.uniform(2, 120, n_ground)], -1)
+    walls = np.stack([rng.choice([-10.0, -7.0, 7.0, 10.0], n_wall)
+                      + rng.normal(0, 0.3, n_wall),
+                      rng.uniform(-8, 1.6, n_wall),
+                      rng.uniform(2, 120, n_wall)], -1)
+    scatter = np.stack([rng.uniform(-15, 15, n_scatter),
+                        rng.uniform(-3, 1.6, n_scatter),
+                        rng.uniform(2, 100, n_scatter)], -1)
+    xyz = np.concatenate([ground, walls, scatter]).astype(np.float32)
+
+    # heavy-tailed log-normal radii (median ~4 cm, tail to meters),
+    # anisotropic: one axis flattened by ~4x (scale-flatten regularizer)
+    base = np.exp(rng.normal(np.log(0.04), 1.0, (n, 1))).astype(np.float32)
+    base = np.clip(base, 0.005, 4.0)
+    aniso = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
+    aniso[np.arange(n), rng.integers(0, 3, n)] *= 0.25
+    scaling = np.log(base * aniso)
+
+    # bimodal opacity (pre-sigmoid logits): 70% near-opaque, 30% faint
+    hi = rng.normal(3.0, 1.0, n)
+    lo = rng.normal(-2.0, 1.0, n)
+    opacity = np.where(rng.random(n) < 0.7, hi, lo).astype(np.float32)[:, None]
+
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+
+    sh_deg = 3
+    n_coef = (sh_deg + 1) ** 2
+    feat_dc = rng.uniform(-1, 1, (n, 1, 3)).astype(np.float32)
+    feat_rest = rng.normal(0, 0.05, (n, n_coef - 1, 3)).astype(np.float32)
+
+    return GaussianPool(
+        xyz=jnp.asarray(xyz), features_dc=jnp.asarray(feat_dc),
+        features_rest=jnp.asarray(feat_rest),
+        scaling=jnp.asarray(scaling.astype(np.float32)),
+        rotation=jnp.asarray(quat), opacity=jnp.asarray(opacity),
+        valid=jnp.ones(n, bool))
+
+
+def flat_from_pool(pool):
+    from street_crafter_tpu.models.gs.scene import FlatGaussians
+    return FlatGaussians(
         xyz=pool.xyz, rotation=pool.get_rotation(),
         scaling=pool.get_scaling(), opacity=pool.get_opacity()[:, 0],
         shs=pool.get_features(), valid=pool.valid)
-    K = np.array([[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]],
+
+
+def time_render(flat, H, W, iters=20, **kw):
+    from street_crafter_tpu.datasets import Camera
+    from street_crafter_tpu.models.gs.renderer import render_flat
+
+    K = np.array([[1.1 * W, 0, W / 2], [0, 1.1 * W, H / 2], [0, 0, 1]],
                  np.float32)
     cam = Camera.from_c2w(np.eye(4, dtype=np.float32), K, W, H)
 
     @jax.jit
-    def render(flat, w2c, K, center):
-        out = render_flat(flat, w2c, K, center, W, H,
-                          sh_degree=3, tile_size=16, max_per_tile=256,
-                          bf16_composite=True, recall_target=0.85)
-        return out["rgb"]
+    def render(flat, w2c):
+        out = render_flat(flat, w2c, jnp.asarray(K), cam.camera_center,
+                          W, H, sh_degree=3, tile_size=16, **kw)
+        return jnp.sum(out["rgb"].astype(jnp.float32))
 
-    w2c = cam.w2c
-    center = cam.camera_center
-    img = render(flat, w2c, jnp.asarray(K), center)
-    img.block_until_ready()
-
-    iters = 20
+    # distinct inputs per call; ONE host fetch at the end (axon tunnel:
+    # block_until_ready is unreliable, per-fetch RTT ~100 ms — CLAUDE.md)
+    w2cs = [jnp.asarray(np.asarray(cam.w2c)).at[0, 3].add(0.002 * i)
+            for i in range(4)]
+    _ = float(render(flat, w2cs[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        img = render(flat, w2c, jnp.asarray(K), center)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    fps = 1.0 / dt
+    outs = [render(flat, w2cs[i % 4]) for i in range(iters)]
+    _ = float(outs[-1])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from street_crafter_tpu.ops.gs_projection import project_gaussians
+    from street_crafter_tpu.ops.gs_raster_fused import rasterize_pixels_fused
+    from street_crafter_tpu.datasets import Camera
+
+    N_HEAVY = 600_000
+    H, W = 1066, 1600
+    pool = build_trained_like_scene(N_HEAVY)
+    flat = flat_from_pool(pool)
+
+    dt = time_render(flat, H, W, method="fused", recall_target=0.85)
+    fps_full = 1.0 / dt
+
+    # overflow counters on the headline scene (silent capacity drops would
+    # invalidate the FPS number; report them)
+    K = np.array([[1.1 * W, 0, W / 2], [0, 1.1 * W, H / 2], [0, 0, 1]],
+                 np.float32)
+    cam = Camera.from_c2w(np.eye(4, dtype=np.float32), K, W, H)
+    proj = project_gaussians(flat.xyz, flat.rotation, flat.scaling,
+                             cam.w2c, jnp.asarray(K), W, H, mask=flat.valid)
+    out = rasterize_pixels_fused(
+        proj.u, proj.v, proj.conic_a, proj.conic_b, proj.conic_c,
+        jnp.zeros((N_HEAVY, 3)), flat.opacity, proj.depths, proj.valid,
+        proj.radii, width=W, height=H, with_stats=True)
+    stats = {k: int(v) for k, v in out.stats.items()}
+
+    # round-1-comparable secondary metric (uniform 200k @ 640x960)
+    pool_r1 = build_scene(200_000)
+    dt_r1 = time_render(flat_from_pool(pool_r1), 640, 960,
+                        method="fused", recall_target=0.85)
 
     print(json.dumps({
-        "metric": "gs_trajectory_render_fps_640x960_200k",
-        "value": round(fps, 2),
+        "metric": "gs_render_fps_1066x1600_600k_heavytail",
+        "value": round(fps_full, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
+        "vs_baseline": round(fps_full / 60.0, 3),
+        "extra": {
+            "fps_640x960_200k_uniform_r1_metric": round(1.0 / dt_r1, 2),
+            "raster_overflow": stats,
+            "path": "fused-pallas coarse4096/recall0.85",
+        },
     }))
 
 
