@@ -1,0 +1,103 @@
+"""Full-size VideoUNet CFG-eval timing on the real chip.
+
+Times ONE denoiser eval at the sample_condition spec (25 frames, 576x1024
+pixels -> 72x128 latents, CFG batch doubling -> BT=50), bf16 params, with
+pipelined distinct inputs and a single final block (tunnel-RTT rule,
+CLAUDE.md). Round-1 baseline: 2.47 s/eval.
+
+Usage: python scripts/bench_unet.py [--f32] [--frames 25] [--iters 6]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from street_crafter_tpu.models.vdm.unet import UNetConfig, VideoUNet
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f32", action="store_true", help="keep params f32")
+    ap.add_argument("--no-policy", action="store_true",
+                    help="dtype=None (round-1 promotion semantics)")
+    ap.add_argument("--frames", type=int, default=25)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--height", type=int, default=72)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--no-remat", action="store_true")
+    args = ap.parse_args()
+
+    cfg = UNetConfig(remat=not args.no_remat,
+                     dtype=None if args.no_policy else "bfloat16")
+    model = VideoUNet(cfg)
+    T = args.frames
+    B = 2  # CFG doubling
+    BT = B * T
+    H, W = args.height, args.width
+
+    def inputs(seed):
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 5)
+        x = jax.random.normal(ks[0], (BT, H, W, cfg.in_channels), jnp.bfloat16)
+        t = jnp.full((BT,), 0.25, jnp.float32)
+        ctx = jax.random.normal(ks[1], (BT, 1, cfg.context_dim), jnp.bfloat16)
+        y = jax.random.normal(ks[2], (BT, cfg.adm_in_channels), jnp.bfloat16)
+        cond_mask = jnp.zeros((BT,), jnp.float32).at[::T].set(1.0)
+        guide = jax.random.normal(ks[3], (BT, H, W, cfg.in_channels // 2),
+                                  jnp.bfloat16)
+        gscale = jnp.concatenate(
+            [jnp.ones((T,)), jnp.zeros((T,))]).astype(jnp.float32)
+        return x, t, ctx, y, cond_mask, guide, gscale
+
+    x, t, ctx, y, cm, g, gs = inputs(0)
+    print("initializing full-size UNet ...", flush=True)
+    t0 = time.perf_counter()
+    # shapes via eval_shape, then materialize directly at the target dtype
+    # (a full f32 init + cast would peak ~9 GB on the 15.75 GB chip)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, x, t, ctx, y, num_frames=T, cond_mask=cm,
+                             guidance_input=g, guidance_scale=gs),
+        jax.random.PRNGKey(0))
+    pdt = jnp.float32 if args.f32 else jnp.bfloat16
+
+    @jax.jit
+    def materialize():
+        return jax.tree.map(
+            lambda sd: jnp.full(sd.shape, 0.01, pdt), shapes)
+
+    params = materialize()
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    jax.block_until_ready(params)
+    print(f"init done: {n_params/1e9:.2f} B params, "
+          f"{time.perf_counter()-t0:.1f} s", flush=True)
+
+    @jax.jit
+    def fwd(params, x, t, ctx, y, cm, g, gs):
+        out = model.apply(params, x, t, ctx, y, num_frames=T, cond_mask=cm,
+                          guidance_input=g, guidance_scale=gs)
+        # scalar so the end-of-run host fetch is one small transfer;
+        # block_until_ready does NOT reliably wait over the axon tunnel —
+        # materialize the LAST scalar instead (device executes in-order)
+        return jnp.mean(out.astype(jnp.float32))
+
+    batches = [inputs(i) for i in range(3)]
+    print("val:", float(fwd(params, *batches[0])), flush=True)
+    print("compiled; timing ...", flush=True)
+
+    t0 = time.perf_counter()
+    outs = [fwd(params, *batches[i % 3]) for i in range(args.iters)]
+    _ = float(outs[-1])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"UNet CFG eval {T}f {H}x{W} "
+          f"params={'f32' if args.f32 else 'bf16'} "
+          f"policy={'none' if args.no_policy else 'bf16'}: "
+          f"{dt*1e3:.0f} ms/eval -> {dt*50:.1f} s per 50-step sample")
+
+
+if __name__ == "__main__":
+    main()
