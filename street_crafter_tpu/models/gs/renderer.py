@@ -50,6 +50,9 @@ def render_flat(
     method: str = "xla",   # "fused": Pallas forward-only compositing
     # (eval/trajectory rendering; no fine-capacity drops, early-exit on
     # saturation); "xla": differentiable path (training, absgrad)
+    coarse_factor: int = 8,
+    max_per_coarse: int = 4096,
+    max_per_row: int | None = None,
 ) -> dict[str, jax.Array]:
     """Render a flat gaussian soup. Returns rgb [H,W,3], acc, depth, radii,
     visibility."""
@@ -80,13 +83,16 @@ def render_flat(
             u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
             proj.depths, proj.valid, proj.radii,
             width=width, height=height, tile_size=tile_size,
-            recall_target=recall_target)
+            coarse_factor=coarse_factor, max_per_coarse=max_per_coarse,
+            max_per_row=max_per_row, bf16_composite=bf16_composite,
+            recall_target=recall_target, with_stats=with_stats)
     else:
         out = rasterize_pixels(
             u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
             proj.depths, proj.valid, proj.radii, absgrad_sink=absgrad_sink,
             width=width, height=height, tile_size=tile_size,
-            max_per_tile=max_per_tile, bf16_composite=bf16_composite,
+            max_per_tile=max_per_tile, coarse_factor=coarse_factor,
+            max_per_coarse=max_per_coarse, bf16_composite=bf16_composite,
             recall_target=recall_target, with_stats=with_stats)
 
     rgb = out.colors[..., :3]

@@ -22,7 +22,11 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     if q.shape[1] <= 32 and k.shape[1] <= 32 and q.shape[1] > 1:
         # tiny sequence (the 25-frame temporal axis): fold heads into the
         # batched-matmul batch dim up front — 21.0 vs 27.4 ms at
-        # [18432, 25, 5, 64] on v5e (scripts/bench_temporal_attn.py)
+        # [18432, 25, 5, 64] on v5e (scripts/bench_temporal_attn.py).
+        # The [BH, T, T] logits tensor lane-pads T->128 (5x physical blowup
+        # at T=25), so the whole softmax runs at HBM rate: keep it in the
+        # compute dtype (bf16 halves the padded traffic; T=25 exp-sums are
+        # well within bf16 range).
         B, T, H, D = q.shape
         Tk = k.shape[1]
         qt = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
@@ -30,6 +34,8 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
         vt = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
         logits = jnp.einsum("btd,bsd->bts", qt, kt,
                             preferred_element_type=jnp.float32) * scale
+        if q.dtype == jnp.bfloat16:
+            logits = logits.astype(jnp.bfloat16)
         probs = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
         o = jnp.einsum("bts,bsd->btd", probs, vt)
         return o.reshape(B, H, T, D).transpose(0, 2, 1, 3)

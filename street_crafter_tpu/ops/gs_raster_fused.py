@@ -46,22 +46,44 @@ _STOP_T = ALPHA_MIN  # transmittance saturation threshold (CUDA uses 1e-4;
 # 1/255 matches our XLA path's alpha cutoff scale)
 
 
-def _composite_kernel(cand_ref, out_ref, acc_ref, t_ref, *,
+_LOG_STOP_T = -5.545   # log(1/255)
+_LOG_CLAMP = -0.0010005   # log(ALPHA_CLAMP) = log(0.999)
+
+
+def _composite_kernel(cand_ref, out_ref, acc_ref, lt_ref, *,
                       kc: int, A: int, C: int, ts: int, cts: int,
-                      CF: int, TWc: int):
-    """One fine-tile row (ts x cts pixels) of one coarse tile."""
+                      CF: int, TWc: int, bf16: bool = False):
+    """One fine-tile row (ts x cts pixels) of one coarse tile.
+
+    The per-candidate alpha evaluation is MXU-formulated: the conic rides as
+    its Cholesky factor (sigma = 0.5*(z1^2 + z2^2), z = L^T d), so the two
+    z-planes come from ONE [KB, 8] @ [8, P] matmul against the row's pixel
+    monomials instead of a ~12-pass VPU chain — and sum-of-squares cannot
+    cancel (the naive expanded quadratic loses ~3 digits at 1600-px
+    coordinates). Opacity is folded in log space (alpha = exp(lopa -
+    sigma)), transmittance is carried as log T (the weight exp fuses the
+    prefix product and the running product in one transcendental).
+    Candidate columns: [l11, l21, c1, l22, c2, lopa, colors..., depth] with
+    c1/c2 pre-shifted to coarse-tile-local pixel coordinates."""
     c = pl.program_id(0)           # coarse tile index (row-major)
     fy = pl.program_id(1)          # fine row within the coarse tile
     P = ts * cts
 
-    # global pixel-center coords of this row, pixel order p = py*cts + px
-    tyc = c // TWc
-    txc = c % TWc
-    x0 = (txc * cts).astype(jnp.float32)
-    y0 = (tyc * cts + fy * ts).astype(jnp.float32)
+    # tile-local pixel-center coords, pixel order p = py*cts + px
+    half = 0.5 * cts
+    y_loc0 = (fy * ts).astype(jnp.float32) - half
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    pxg = x0 + (pid % cts).astype(jnp.float32) + 0.5     # [1, P]
-    pyg = y0 + (pid // cts).astype(jnp.float32) + 0.5
+    pxl = (pid % cts).astype(jnp.float32) + 0.5 - half    # [1, P]
+    pyl = y_loc0 + (pid // cts).astype(jnp.float32) + 0.5
+
+    # pixel monomials [8, P] paired with candidate columns 0..7 =
+    # (l11, l21, c1, l22, c2, lopa, color0, color1):
+    #   z1 = l11*px + l21*py + c1  -> X1 rows (px, py, 1, 0, 0, 0, 0, 0)
+    #   z2 = l22*py + c2           -> X2 rows (0, 0, 0, py, 1, 0, 0, 0)
+    zero = jnp.zeros((1, P), jnp.float32)
+    one = jnp.ones((1, P), jnp.float32)
+    x1m = jnp.concatenate([pxl, pyl, one, zero, zero, zero, zero, zero], 0)
+    x2m = jnp.concatenate([zero, zero, zero, pyl, one, zero, zero, zero], 0)
 
     # strict lower-triangular ones: exclusive prefix over the block via MXU
     ri = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 0)
@@ -69,65 +91,75 @@ def _composite_kernel(cand_ref, out_ref, acc_ref, t_ref, *,
     tri = (ci < ri).astype(jnp.float32)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    t_ref[:] = jnp.ones_like(t_ref)
+    lt_ref[:] = jnp.zeros_like(lt_ref)
 
     nb = kc // _KB
 
     def body(carry):
         b, _ = carry
-        blk = cand_ref[0, pl.ds(b * _KB, _KB), :]        # [KB, A]
-        u = blk[:, 0:1]
-        v = blk[:, 1:2]
-        ca = blk[:, 2:3]
-        cb = blk[:, 3:4]
-        cc = blk[:, 4:5]
-        opa = blk[:, 5:6]
+        blk = cand_ref[0, 0, pl.ds(b * _KB, _KB), :]     # [KB, A]
+        lopa = blk[:, 5:6]
         depth = blk[:, A - 1:A]
         alive = depth < 1e10                              # [KB, 1]
 
-        dx = pxg - u                                      # [KB, P]
-        dy = pyg - v
-        sigma = (0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy)
-        alpha = opa * jnp.exp(-jnp.maximum(sigma, 0.0))
-        alpha = jnp.minimum(alpha, ALPHA_CLAMP)
-        keep = (alpha >= ALPHA_MIN) & (sigma >= 0.0) & alive
-        alpha = jnp.where(keep, alpha, 0.0)
+        a = blk[:, 0:8]
+        z1 = jax.lax.dot_general(                         # [KB, P]
+            a, x1m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z2 = jax.lax.dot_general(
+            a, x2m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        lalpha = lopa - 0.5 * (z1 * z1 + z2 * z2)         # [KB, P]
+        # cutoff + clamp in LOG space on f32 (Mosaic has no bf16 vector
+        # compare on v5e): alpha >= 1/255 <=> lalpha >= log(1/255)
+        keep = (lalpha >= _LOG_STOP_T) & alive
+        lalpha = jnp.minimum(lalpha, _LOG_CLAMP)
+        if bf16:   # transcendentals at the bf16 VPU rate; prefix sums and
+            # color accumulate in f32 through the matmuls
+            lalpha = lalpha.astype(jnp.bfloat16)
+        alpha = jnp.where(keep, jnp.exp(lalpha),
+                          jnp.asarray(0.0, lalpha.dtype))
 
         log1m = jnp.log1p(-alpha)                         # [KB, P]
         pre = jax.lax.dot_general(                        # exclusive prefix
-            tri, log1m, (((1,), (0,)), ((), ())),
+            tri.astype(log1m.dtype), log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        t_row = t_ref[0:1, :]                             # [1, P]
-        w = alpha * jnp.exp(pre) * t_row                  # [KB, P]
+        lt = lt_ref[0:1, :]                               # [1, P] log T
+        w = alpha.astype(jnp.float32) * jnp.exp(pre + lt)  # [KB, P]
 
         col_t = blk[:, 6:6 + C].T                         # [C, KB]
         acc_ref[0:C, :] += jax.lax.dot_general(
             col_t, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        t_new = t_row * jnp.exp(jnp.sum(log1m, axis=0, keepdims=True))
-        t_ref[0:1, :] = t_new
+        # block total = exclusive prefix at the last row + its own term
+        # (one [1, P] f32 add instead of a full reduce over the block)
+        lt_new = lt + pre[_KB - 1:_KB, :] \
+            + log1m[_KB - 1:_KB, :].astype(jnp.float32)
+        lt_ref[0:1, :] = lt_new
 
         # stop when saturated or the sorted candidate list ran out
         any_tail = jnp.all(alive)     # block full => more may follow
-        tmax = jnp.max(t_new)
-        return b + 1, jnp.where(any_tail, tmax, 0.0)
+        ltmax = jnp.max(lt_new)
+        return b + 1, jnp.where(any_tail, ltmax, -1e30)
 
     def cond(carry):
-        b, tmax = carry
-        return (b < nb) & (tmax > _STOP_T)
+        b, ltmax = carry
+        return (b < nb) & (ltmax > _LOG_STOP_T)
 
-    jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+    jax.lax.while_loop(cond, body, (0, jnp.float32(0.0)))
 
     out_ref[0, 0] = acc_ref[:]
-    out_ref[0, 0, C:C + 1, :] = 1.0 - t_ref[0:1, :]
+    out_ref[0, 0, C:C + 1, :] = 1.0 - jnp.exp(lt_ref[0:1, :])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "coarse_factor",
-                     "max_per_coarse", "select_method", "recall_target",
-                     "with_stats"))
+                     "max_per_coarse", "max_per_row", "select_method",
+                     "recall_target", "bf16_composite", "with_stats",
+                     "_debug_no_kernel"))
 def rasterize_pixels_fused(
     u: jax.Array,          # [N] pixel x
     v: jax.Array,          # [N] pixel y
@@ -144,10 +176,14 @@ def rasterize_pixels_fused(
     tile_size: int = 16,
     coarse_factor: int = 8,
     max_per_coarse: int = 4096,
+    max_per_row: int | None = None,   # per-16px-row candidate capacity
+    # (default max_per_coarse // 4); rows saturate or run dry long before
+    # the coarse capacity, so the refined walk is ~4x shorter
     select_method: str = "approx",
     recall_target: float = 0.95,
-    with_stats: bool = False,   # coarse-capacity overflow counters (the
-    # fused path has NO fine capacity: every coarse candidate is composited)
+    bf16_composite: bool = False,   # in-kernel alpha chain at bf16 VPU rate
+    with_stats: bool = False,   # capacity-overflow counters
+    _debug_no_kernel: bool = False,   # bench: run everything but composite
 ) -> RasterOutput:
     ts = tile_size
     CF = coarse_factor
@@ -173,17 +209,20 @@ def rasterize_pixels_fused(
                             indexing="ij")
     cx0 = (txc.reshape(-1) * cts)[:, None]
     cy0 = (tyc.reshape(-1) * cts)[:, None]
-    inter = ((x0[None, :] < cx0 + cts) & (x1[None, :] > cx0)
-             & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0))
-    key = jnp.where(inter, depth_key[None, :], _INF)
     stats = None
     if with_stats:
-        counts_c = (key < _INF).sum(axis=1)
+        inter_s = ((x0[None, :] < cx0 + cts) & (x1[None, :] > cx0)
+                   & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0)
+                   & (depth_key[None, :] < _INF))
+        counts_c = inter_s.sum(axis=1)
         stats = {
             "coarse_max": counts_c.max(),
             "coarse_overflow_tiles": (counts_c > kc).sum(),
             "coarse_dropped": jnp.maximum(counts_c - kc, 0).sum(),
         }
+    inter = ((x0[None, :] < cx0 + cts) & (x1[None, :] > cx0)
+             & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0))
+    key = jnp.where(inter, depth_key[None, :], _INF)
     if select_method == "exact":
         neg_top, idxc = jax.lax.top_k(-key, min(kc, n))
         cand_depth = -neg_top
@@ -197,29 +236,94 @@ def rasterize_pixels_fused(
                              constant_values=_INF)
         idxc = jnp.pad(idxc, ((0, 0), (0, pad)))
 
-    # packed gather: [u, v, conic(3), opacity, color(C), depth]
+    # packed gather in the kernel's Cholesky layout (see _composite_kernel):
+    # conic M = [[ca, cb], [cb, cc]] = L L^T with L = [[l11, 0], [l21, l22]]
+    # so sigma = 0.5*((l11 dx + l21 dy)^2 + (l22 dy)^2) — evaluated by MXU
+    # matmul in the kernel, cancellation-free
+    l11 = jnp.sqrt(jnp.maximum(conic_a, 1e-12))
+    l21 = conic_b / l11
+    l22 = jnp.sqrt(jnp.maximum(conic_c - l21 * l21, 1e-12))
+    lopa = jnp.where(valid & (opacities > 0),
+                     jnp.log(jnp.maximum(opacities, 1e-30)), -1e30)
     attrs = jnp.concatenate(
-        [jnp.stack([u, v, conic_a, conic_b, conic_c, opacities], -1),
-         colors], -1)
+        [jnp.stack([l11, l21, u, l22, v, lopa], -1), colors], -1)
     cand = attrs[idxc]                                    # [Tc, kc, 6+C]
+    # shift the constant terms to coarse-tile-local pixel coordinates
+    # (global 1600-px coords would cost ~3 digits of f32 in the kernel)
+    ctrx = (jnp.arange(Tc) % TWc).astype(jnp.float32) * cts + 0.5 * cts
+    ctry = (jnp.arange(Tc) // TWc).astype(jnp.float32) * cts + 0.5 * cts
+    ul = cand[..., 2] - ctrx[:, None]
+    vl = cand[..., 4] - ctry[:, None]
+    c1 = -(cand[..., 0] * ul + cand[..., 1] * vl)
+    c2 = -(cand[..., 3] * vl)
+    cand = jnp.concatenate(
+        [cand[..., 0:2], c1[..., None], cand[..., 3:4], c2[..., None],
+         cand[..., 5:]], -1)
     cand = jnp.concatenate([cand, cand_depth[..., None]], -1)
     A = 6 + C + 1
+    assert A >= 8, "kernel matmul reads candidate columns 0..7"
+
+    # per-fine-ROW refinement: the composite walks a depth-sorted candidate
+    # list per 16px-tall row; refining the coarse (128px) list to only
+    # row-intersecting candidates cuts the kernel's block walk ~4x (most
+    # splats span 1-2 rows). Keys are [Tc*CF, kc] — trivial next to the
+    # [Tc, N] coarse pass. top_k keeps depth order (list already sorted by
+    # depth => masked depths stay sorted among survivors).
+    kf = max_per_row if max_per_row is not None else kc // 4
+    kf = min(kc, max(_KB, -(-kf // _KB) * _KB))
+    if kf >= kc:
+        # no refinement: every fine row walks its coarse tile's full list
+        cand_rows = cand[:, None]                         # [Tc, 1, kc, A]
+        row_spec = pl.BlockSpec((1, 1, kc, A), lambda c, f: (c, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if with_stats:
+            stats = dict(stats or {})
+            stats["row_max"] = jnp.int32(0)
+            stats["row_dropped"] = jnp.int32(0)
+    else:
+        y0g = y0[idxc]                                    # [Tc, kc]
+        y1g = y1[idxc]
+        ry0 = cy0.reshape(-1, 1, 1) + (jnp.arange(CF, dtype=jnp.float32)
+                                       * ts).reshape(1, -1, 1)  # [Tc, CF, 1]
+        rinter = (y0g[:, None, :] < ry0 + ts) & (y1g[:, None, :] > ry0)
+        rkey = jnp.where(rinter, cand_depth[:, None, :], _INF)  # [Tc,CF,kc]
+        row_depth, ridx = jax.lax.approx_min_k(
+            rkey.reshape(Tc * CF, kc), kf, recall_target=recall_target,
+            aggregate_to_topk=True)
+        row_depth = row_depth.reshape(Tc, CF, kf)
+        ridx = ridx.reshape(Tc, CF, kf)
+        cand_rows = jnp.take_along_axis(cand[:, None], ridx[..., None],
+                                        axis=2)
+        # re-stamp depth: gathered rows of dropped/INF keys carry stale ones
+        cand_rows = jnp.concatenate(
+            [cand_rows[..., :A - 1],
+             jnp.where(row_depth < _INF, row_depth, _INF)[..., None]], -1)
+        row_spec = pl.BlockSpec((1, 1, kf, A), lambda c, f: (c, f, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if with_stats:
+            rcounts = rinter.sum(-1)
+            stats = dict(stats or {})
+            stats["row_max"] = rcounts.max()
+            stats["row_dropped"] = jnp.maximum(rcounts - kf, 0).sum()
 
     P = ts * cts
+    if _debug_no_kernel:
+        z = jnp.full((height, width, C), jnp.sum(cand_rows) * 1e-20)
+        return RasterOutput(colors=z, alpha=z[..., 0], stats=stats)
     kernel = functools.partial(
-        _composite_kernel, kc=kc, A=A, C=C, ts=ts, cts=cts, CF=CF, TWc=TWc)
+        _composite_kernel, kc=kf, A=A, C=C, ts=ts, cts=cts, CF=CF, TWc=TWc,
+        bf16=bf16_composite)
     packed = pl.pallas_call(
         kernel,
         grid=(Tc, CF),
-        in_specs=[pl.BlockSpec((1, kc, A), lambda c, f: (c, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[row_spec],
         out_specs=pl.BlockSpec((1, 1, 8, P), lambda c, f: (c, f, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
                         pltpu.VMEM((8, P), jnp.float32)],
         interpret=jax.default_backend() == "cpu",   # CPU tests
-    )(cand)
+    )(cand_rows)
 
     # [Tc, CF(fy), 8, ts*cts] -> [H, W, 8] -> crop
     img = packed.reshape(THc, TWc, CF, 8, ts, cts)

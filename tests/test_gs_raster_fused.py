@@ -35,7 +35,7 @@ def test_fused_matches_exact():
                            exact_select=True)
     out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
                                  coarse_factor=8, max_per_coarse=n,
-                                 select_method="exact")
+                                 max_per_row=n, select_method="exact")
     mse = float(jnp.mean((ref.colors - out.colors) ** 2))
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 60.0, psnr
@@ -53,7 +53,7 @@ def test_fused_early_exit_saturated_scene():
                            exact_select=True)
     out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
                                  coarse_factor=8, max_per_coarse=n,
-                                 select_method="exact")
+                                 max_per_row=n, select_method="exact")
     mse = float(jnp.mean((ref.colors - out.colors) ** 2))
     assert -10 * np.log10(mse + 1e-12) > 55.0
 
@@ -70,7 +70,7 @@ def test_fused_capacity_padding_and_invalid():
                            exact_select=True)
     out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
                                  coarse_factor=8, max_per_coarse=n,
-                                 select_method="exact")
+                                 max_per_row=n, select_method="exact")
     mse = float(jnp.mean((ref.colors - out.colors) ** 2))
     assert -10 * np.log10(mse + 1e-12) > 60.0
 
@@ -99,7 +99,8 @@ def test_fused_renderer_dispatch():
                       sh_degree=1, tile_size=16, max_per_tile=n,
                       method="xla")
     out = render_flat(flat, cam.w2c, jnp.asarray(K), cam.camera_center, W, H,
-                      sh_degree=1, tile_size=16, method="fused")
+                      sh_degree=1, tile_size=16, method="fused",
+                      max_per_row=n)
     # depth channel rides as channel 3 in both paths
     mse = float(jnp.mean((ref["rgb"] - out["rgb"]) ** 2))
     assert -10 * np.log10(mse + 1e-12) > 45.0, mse
@@ -109,3 +110,36 @@ def test_fused_renderer_dispatch():
     d_out = np.asarray(out["depth"])
     m = np.asarray(ref["acc"]) > 0.5
     np.testing.assert_allclose(d_out[m], d_ref[m], rtol=0.05)
+
+
+def test_fused_row_refinement_generous_capacity():
+    # per-row refinement at full capacity must match exact selection
+    W, H, n = 256, 128, 1500
+    args = make_scene(n, W, H, seed=4)
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=n,
+                                 max_per_row=n, select_method="exact",
+                                 recall_target=0.95)
+    mse = float(jnp.mean((ref.colors - out.colors) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 50.0, psnr
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=1e-2)
+
+
+def test_fused_row_capacity_saturated():
+    # default (kc//4) row capacity on a near-opaque scene: the dropped tail
+    # is behind saturated transmittance, so the image still matches
+    W, H, n = 128, 64, 2000
+    args = make_scene(n, W, H, seed=5, opa_range=(0.9, 0.99))
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=n,
+                                 select_method="exact")
+    mse = float(jnp.mean((ref.colors - out.colors) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 45.0
