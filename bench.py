@@ -162,7 +162,7 @@ def main():
         "extra": {
             "fps_640x960_200k_uniform_r1_metric": round(1.0 / dt_r1, 2),
             "raster_overflow": stats,
-            "path": "fused-pallas coarse4096/recall0.85",
+            "path": "fused-pallas coarse4096/row1024/recall0.85",
         },
     }))
 

@@ -103,19 +103,19 @@ def main():
 
     ref_img = None
     for kc, kr, recall, cf, sel, b16, dbg in (
-            (4096, 4096, 0.85, 8, "approx", False, True),
-            (4096, 1024, 0.85, 8, "approx", False, True),
-            (4096, 4096, 0.85, 8, "approx", False, False),
-            (4096, 4096, 0.85, 8, "approx", True, False),
-            (4096, 1024, 0.85, 8, "approx", True, False),
-            (4096, 512, 0.85, 8, "approx", True, False)):
+            (4096, 1024, 0.85, 8, "approx", False, False),
+            (4096, 2048, 0.85, 8, "approx", False, False),
+            (3072, 1024, 0.85, 8, "approx", False, False),
+            (4096, 1024, 0.8, 8, "approx", False, False)):
         def full(flat, w2c, kc=kc, kr=kr, recall=recall, cf=cf, sel=sel,
                  b16=b16, dbg=dbg, want_img=False):
             proj = rmod.project_gaussians(
                 flat.xyz, flat.rotation, flat.scaling, w2c, Kj, W, H,
                 mask=flat.valid)
-            cols = SH.eval_sh(3, jnp.swapaxes(flat.shs, -1, -2),
-                              flat.xyz - cam.camera_center[None]) + 0.5
+            dirs = flat.xyz - cam.camera_center[None]
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+            cols = SH.eval_sh(3, jnp.swapaxes(flat.shs, -1, -2), dirs) + 0.5
             chan = jnp.concatenate(
                 [jnp.maximum(cols, 0.0), proj.depths[:, None]], -1)
             from street_crafter_tpu.ops.gs_raster_fused import (

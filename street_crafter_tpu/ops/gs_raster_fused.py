@@ -50,24 +50,39 @@ _LOG_STOP_T = -5.545   # log(1/255)
 _LOG_CLAMP = -0.0010005   # log(ALPHA_CLAMP) = log(0.999)
 
 
-def _composite_kernel(cand_ref, out_ref, acc_ref, lt_ref, *,
-                      kc: int, A: int, C: int, ts: int, cts: int,
-                      CF: int, TWc: int, bf16: bool = False):
-    """One fine-tile row (ts x cts pixels) of one coarse tile.
+def _composite_kernel(cand_ref, out_ref, comp_ref, acc_ref, lt_ref, *,
+                      kc: int, kf: int, A: int, C: int, ts: int, cts: int,
+                      CF: int, TWc: int):
+    """One fine-tile row (ts x cts pixels) of one coarse tile, two phases:
 
-    The per-candidate alpha evaluation is MXU-formulated: the conic rides as
-    its Cholesky factor (sigma = 0.5*(z1^2 + z2^2), z = L^T d), so the two
-    z-planes come from ONE [KB, 8] @ [8, P] matmul against the row's pixel
-    monomials instead of a ~12-pass VPU chain — and sum-of-squares cannot
-    cancel (the naive expanded quadratic loses ~3 digits at 1600-px
-    coordinates). Opacity is folded in log space (alpha = exp(lopa -
-    sigma)), transmittance is carried as log T (the weight exp fuses the
-    prefix product and the running product in one transcendental).
-    Candidate columns: [l11, l21, c1, l22, c2, lopa, colors..., depth] with
-    c1/c2 pre-shifted to coarse-tile-local pixel coordinates."""
+    1. ROW COMPACTION (MXU): the coarse tile's depth-sorted candidate list
+       is compacted to this row's intersecting candidates entirely in VMEM.
+       Per 128-block: y-overlap mask, exclusive positions via the strict
+       lower-triangular ones matmul, a one-hot indicator [kf, 128]
+       (iota == position), and ``indicator @ block`` accumulates candidates
+       into their compacted slots — order-preserving, no sort, no gather.
+       (XLA-side alternatives all lose: approx_min_k aggregation ~19 ms,
+       lax.sort ~1 s for these shapes on v5e.)
+    2. COMPOSITING over the compacted list (typically ~kc/8 of the tile's
+       candidates intersect a 16px row): per-candidate alpha via the conic's
+       Cholesky factor — sigma = 0.5*(z1^2+z2^2) from ONE [KB, 8] @ [8, P]
+       matmul against the row's pixel monomials (cancellation-free in
+       tile-local coords); opacity folded in log space; transmittance
+       carried as log T; the over-operator prefix product via the same
+       triangular matmul; early exit on saturation (maxlog T < log 1/255).
+
+    Candidate columns 0..A-1: [l11, l21, c1, l22, c2, lopa, colors...,
+    depth, y0, y1, pad...] with c1/c2 pre-shifted to coarse-tile-local
+    pixel coordinates."""
     c = pl.program_id(0)           # coarse tile index (row-major)
     fy = pl.program_id(1)          # fine row within the coarse tile
     P = ts * cts
+    DEPTH = 6 + C                  # depth column index
+
+    tyc = c // TWc
+    # global y bounds of this row (y0/y1 columns are global coords)
+    ry0 = (tyc * cts + fy * ts).astype(jnp.float32)
+    ry1 = ry0 + ts
 
     # tile-local pixel-center coords, pixel order p = py*cts + px
     half = 0.5 * cts
@@ -85,22 +100,69 @@ def _composite_kernel(cand_ref, out_ref, acc_ref, lt_ref, *,
     x1m = jnp.concatenate([pxl, pyl, one, zero, zero, zero, zero, zero], 0)
     x2m = jnp.concatenate([zero, zero, zero, pyl, one, zero, zero, zero], 0)
 
-    # strict lower-triangular ones: exclusive prefix over the block via MXU
+    # strict lower-triangular ones: exclusive prefix via MXU
     ri = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 1)
     tri = (ci < ri).astype(jnp.float32)
 
+    comp_ref[:] = jnp.zeros_like(comp_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     lt_ref[:] = jnp.zeros_like(lt_ref)
 
     nb = kc // _KB
+    WIN = min(2 * _KB, kf)   # slot window: positions advance <= KB per
+    # block, so the one-hot indicator only needs 2*KB rows anchored at the
+    # running base (a full [kf, KB] indicator costs ~4x more VPU)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, _KB), 0) \
+        .astype(jnp.float32)
+
+    # ---- phase 1: compact this row's intersecting candidates ------------
+    def cbody(carry):
+        b, base, _ = carry
+        blk = cand_ref[0, pl.ds(b * _KB, _KB), :]         # [KB, A]
+        depth = blk[:, DEPTH:DEPTH + 1]
+        cy0 = blk[:, DEPTH + 1:DEPTH + 2]
+        cy1 = blk[:, DEPTH + 2:DEPTH + 3]
+        alive = depth < 1e10
+        mask = (cy0 < ry1) & (cy1 > ry0) & alive          # [KB, 1]
+        maskf = mask.astype(jnp.float32)
+        epos = jax.lax.dot_general(                       # exclusive prefix
+            tri, maskf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [KB, 1]
+        # window anchor (multiple of KB, clamped so the window fits)
+        floor = jnp.clip((base // _KB) * _KB, 0, kf - WIN)
+        # fold the mask into the position row (masked -> -1 never matches):
+        # the [WIN, KB] indicator is then ONE equality compare + cast
+        rel = jnp.where(mask[:, 0], epos[:, 0]
+                        + (base - floor).astype(jnp.float32),
+                        -1.0)[None, :]                    # [1, KB]
+        ind = (slot_iota == rel).astype(jnp.float32)      # [WIN, KB]
+        upd = jax.lax.dot_general(
+            ind, blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        comp_ref[pl.ds(floor, WIN), :] += upd
+        base = base + jnp.sum(maskf).astype(jnp.int32)
+        return b + 1, base, jnp.all(alive)
+
+    def ccond(carry):
+        b, base, tail = carry
+        return (b < nb) & (base < kf) & tail
+
+    _, base_i, _ = jax.lax.while_loop(
+        ccond, cbody, (0, jnp.int32(0), jnp.bool_(True)))
+    base = base_i.astype(jnp.float32)
+
+    # ---- phase 2: composite the compacted list --------------------------
+    nkf = kf // _KB
 
     def body(carry):
         b, _ = carry
-        blk = cand_ref[0, 0, pl.ds(b * _KB, _KB), :]     # [KB, A]
+        blk = comp_ref[pl.ds(b * _KB, _KB), :]            # [KB, A]
         lopa = blk[:, 5:6]
-        depth = blk[:, A - 1:A]
-        alive = depth < 1e10                              # [KB, 1]
+        # slot validity: zero-filled tail slots must not composite
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_KB, 1), 0) \
+            .astype(jnp.float32) + (b * _KB).astype(jnp.float32)
+        alive = slot < base
 
         a = blk[:, 0:8]
         z1 = jax.lax.dot_general(                         # [KB, P]
@@ -111,22 +173,20 @@ def _composite_kernel(cand_ref, out_ref, acc_ref, lt_ref, *,
             preferred_element_type=jnp.float32)
 
         lalpha = lopa - 0.5 * (z1 * z1 + z2 * z2)         # [KB, P]
-        # cutoff + clamp in LOG space on f32 (Mosaic has no bf16 vector
-        # compare on v5e): alpha >= 1/255 <=> lalpha >= log(1/255)
+        # cutoff + clamp in LOG space: alpha >= 1/255 <=> lalpha >= log1/255
         keep = (lalpha >= _LOG_STOP_T) & alive
         lalpha = jnp.minimum(lalpha, _LOG_CLAMP)
-        if bf16:   # transcendentals at the bf16 VPU rate; prefix sums and
-            # color accumulate in f32 through the matmuls
-            lalpha = lalpha.astype(jnp.bfloat16)
-        alpha = jnp.where(keep, jnp.exp(lalpha),
-                          jnp.asarray(0.0, lalpha.dtype))
+        alpha = jnp.where(keep, jnp.exp(lalpha), 0.0)
 
+        # NOTE kept f32: log1p in bf16 is both unsupported by Mosaic and
+        # numerically wrong near alpha=1 (1-alpha underflows bf16's 8-bit
+        # mantissa exactly where near-opaque splats need it)
         log1m = jnp.log1p(-alpha)                         # [KB, P]
         pre = jax.lax.dot_general(                        # exclusive prefix
-            tri.astype(log1m.dtype), log1m, (((1,), (0,)), ((), ())),
+            tri, log1m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         lt = lt_ref[0:1, :]                               # [1, P] log T
-        w = alpha.astype(jnp.float32) * jnp.exp(pre + lt)  # [KB, P]
+        w = alpha * jnp.exp(pre + lt)                     # [KB, P]
 
         col_t = blk[:, 6:6 + C].T                         # [C, KB]
         acc_ref[0:C, :] += jax.lax.dot_general(
@@ -134,19 +194,14 @@ def _composite_kernel(cand_ref, out_ref, acc_ref, lt_ref, *,
             preferred_element_type=jnp.float32)
 
         # block total = exclusive prefix at the last row + its own term
-        # (one [1, P] f32 add instead of a full reduce over the block)
-        lt_new = lt + pre[_KB - 1:_KB, :] \
-            + log1m[_KB - 1:_KB, :].astype(jnp.float32)
+        lt_new = lt + pre[_KB - 1:_KB, :] + log1m[_KB - 1:_KB, :]
         lt_ref[0:1, :] = lt_new
 
-        # stop when saturated or the sorted candidate list ran out
-        any_tail = jnp.all(alive)     # block full => more may follow
-        ltmax = jnp.max(lt_new)
-        return b + 1, jnp.where(any_tail, ltmax, -1e30)
+        return b + 1, jnp.max(lt_new)
 
     def cond(carry):
         b, ltmax = carry
-        return (b < nb) & (ltmax > _LOG_STOP_T)
+        return (b < nkf) & (b * _KB < base) & (ltmax > _LOG_STOP_T)
 
     jax.lax.while_loop(cond, body, (0, jnp.float32(0.0)))
 
@@ -181,7 +236,9 @@ def rasterize_pixels_fused(
     # the coarse capacity, so the refined walk is ~4x shorter
     select_method: str = "approx",
     recall_target: float = 0.95,
-    bf16_composite: bool = False,   # in-kernel alpha chain at bf16 VPU rate
+    bf16_composite: bool = False,   # accepted for XLA-path signature
+    # compatibility; the kernel's elementwise chain stays f32 (log1p near
+    # alpha=1 needs f32, and Mosaic lacks bf16 compares/log1p on v5e)
     with_stats: bool = False,   # capacity-overflow counters
     _debug_no_kernel: bool = False,   # bench: run everything but composite
 ) -> RasterOutput:
@@ -246,8 +303,9 @@ def rasterize_pixels_fused(
     lopa = jnp.where(valid & (opacities > 0),
                      jnp.log(jnp.maximum(opacities, 1e-30)), -1e30)
     attrs = jnp.concatenate(
-        [jnp.stack([l11, l21, u, l22, v, lopa], -1), colors], -1)
-    cand = attrs[idxc]                                    # [Tc, kc, 6+C]
+        [jnp.stack([l11, l21, u, l22, v, lopa], -1), colors,
+         jnp.stack([y0, y1], -1)], -1)
+    cand = attrs[idxc]                                    # [Tc, kc, 8+C]
     # shift the constant terms to coarse-tile-local pixel coordinates
     # (global 1600-px coords would cost ~3 digits of f32 in the kernel)
     ctrx = (jnp.arange(Tc) % TWc).astype(jnp.float32) * cts + 0.5 * cts
@@ -256,74 +314,50 @@ def rasterize_pixels_fused(
     vl = cand[..., 4] - ctry[:, None]
     c1 = -(cand[..., 0] * ul + cand[..., 1] * vl)
     c2 = -(cand[..., 3] * vl)
+    # columns: [l11, l21, c1, l22, c2, lopa, colors(C), depth, y0, y1]
     cand = jnp.concatenate(
         [cand[..., 0:2], c1[..., None], cand[..., 3:4], c2[..., None],
-         cand[..., 5:]], -1)
-    cand = jnp.concatenate([cand, cand_depth[..., None]], -1)
-    A = 6 + C + 1
+         cand[..., 5:6 + C], cand_depth[..., None],
+         cand[..., 6 + C:8 + C]], -1)
+    A = 6 + C + 3
     assert A >= 8, "kernel matmul reads candidate columns 0..7"
 
-    # per-fine-ROW refinement: the composite walks a depth-sorted candidate
-    # list per 16px-tall row; refining the coarse (128px) list to only
-    # row-intersecting candidates cuts the kernel's block walk ~4x (most
-    # splats span 1-2 rows). Keys are [Tc*CF, kc] — trivial next to the
-    # [Tc, N] coarse pass. top_k keeps depth order (list already sorted by
-    # depth => masked depths stay sorted among survivors).
+    # per-row capacity for the kernel's in-VMEM compaction phase (a 16px
+    # row intersects ~kc/8 of its coarse tile's candidates)
     kf = max_per_row if max_per_row is not None else kc // 4
     kf = min(kc, max(_KB, -(-kf // _KB) * _KB))
-    if kf >= kc:
-        # no refinement: every fine row walks its coarse tile's full list
-        cand_rows = cand[:, None]                         # [Tc, 1, kc, A]
-        row_spec = pl.BlockSpec((1, 1, kc, A), lambda c, f: (c, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        if with_stats:
-            stats = dict(stats or {})
-            stats["row_max"] = jnp.int32(0)
-            stats["row_dropped"] = jnp.int32(0)
-    else:
+    if with_stats:
         y0g = y0[idxc]                                    # [Tc, kc]
         y1g = y1[idxc]
-        ry0 = cy0.reshape(-1, 1, 1) + (jnp.arange(CF, dtype=jnp.float32)
-                                       * ts).reshape(1, -1, 1)  # [Tc, CF, 1]
-        rinter = (y0g[:, None, :] < ry0 + ts) & (y1g[:, None, :] > ry0)
-        rkey = jnp.where(rinter, cand_depth[:, None, :], _INF)  # [Tc,CF,kc]
-        row_depth, ridx = jax.lax.approx_min_k(
-            rkey.reshape(Tc * CF, kc), kf, recall_target=recall_target,
-            aggregate_to_topk=True)
-        row_depth = row_depth.reshape(Tc, CF, kf)
-        ridx = ridx.reshape(Tc, CF, kf)
-        cand_rows = jnp.take_along_axis(cand[:, None], ridx[..., None],
-                                        axis=2)
-        # re-stamp depth: gathered rows of dropped/INF keys carry stale ones
-        cand_rows = jnp.concatenate(
-            [cand_rows[..., :A - 1],
-             jnp.where(row_depth < _INF, row_depth, _INF)[..., None]], -1)
-        row_spec = pl.BlockSpec((1, 1, kf, A), lambda c, f: (c, f, 0, 0),
-                                memory_space=pltpu.VMEM)
-        if with_stats:
-            rcounts = rinter.sum(-1)
-            stats = dict(stats or {})
-            stats["row_max"] = rcounts.max()
-            stats["row_dropped"] = jnp.maximum(rcounts - kf, 0).sum()
+        ry0s = cy0.reshape(-1, 1, 1) + (jnp.arange(CF, dtype=jnp.float32)
+                                        * ts).reshape(1, -1, 1)
+        rinter = ((y0g[:, None, :] < ry0s + ts) & (y1g[:, None, :] > ry0s)
+                  & (cand_depth[:, None, :] < _INF))      # [Tc, CF, kc]
+        rcounts = rinter.sum(-1)
+        stats = dict(stats or {})
+        stats["row_max"] = rcounts.max()
+        stats["row_dropped"] = jnp.maximum(rcounts - kf, 0).sum()
 
     P = ts * cts
     if _debug_no_kernel:
-        z = jnp.full((height, width, C), jnp.sum(cand_rows) * 1e-20)
+        z = jnp.full((height, width, C), jnp.sum(cand) * 1e-20)
         return RasterOutput(colors=z, alpha=z[..., 0], stats=stats)
     kernel = functools.partial(
-        _composite_kernel, kc=kf, A=A, C=C, ts=ts, cts=cts, CF=CF, TWc=TWc,
-        bf16=bf16_composite)
+        _composite_kernel, kc=kc, kf=kf, A=A, C=C, ts=ts, cts=cts, CF=CF,
+        TWc=TWc)
     packed = pl.pallas_call(
         kernel,
         grid=(Tc, CF),
-        in_specs=[row_spec],
+        in_specs=[pl.BlockSpec((1, kc, A), lambda c, f: (c, 0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1, 8, P), lambda c, f: (c, f, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kf, A), jnp.float32),
+                        pltpu.VMEM((8, P), jnp.float32),
                         pltpu.VMEM((8, P), jnp.float32)],
         interpret=jax.default_backend() == "cpu",   # CPU tests
-    )(cand_rows)
+    )(cand)
 
     # [Tc, CF(fy), 8, ts*cts] -> [H, W, 8] -> crop
     img = packed.reshape(THc, TWc, CF, 8, ts, cts)
