@@ -218,9 +218,26 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(ctx)
+        to_q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)
+        to_k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)
+        to_v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)
+        to_out = nn.Dense(x.shape[-1] if self.context_dim is None else inner,
+                          name="to_out", dtype=self.dtype)
+        if context is not None and context.shape[1] == 1:
+            # length-1 context (the CLIP image embedding): softmax over a
+            # single key is identically 1, so attention reduces EXACTLY to
+            # out = to_out(to_v(ctx)) broadcast over queries — skipping the
+            # q/k projections and the attention kernel (~7.8 -> ~0.5 ms at
+            # [50, 9216, 320] on v5e). q/k are still traced on one token so
+            # the parameter tree matches converted checkpoints (XLA DCEs
+            # the dead compute).
+            _ = to_q(x[:, :1]) + to_k(ctx[:, :1])
+            out = to_out(to_v(ctx))                       # [B, 1, C]
+            return jnp.broadcast_to(out, (x.shape[0], x.shape[1],
+                                          out.shape[-1]))
+        q = to_q(x)
+        k = to_k(ctx)
+        v = to_v(ctx)
         B, S, _ = q.shape
         Skv = k.shape[1]
         q = q.reshape(B, S, self.heads, self.dim_head)
@@ -228,12 +245,18 @@ class CrossAttention(nn.Module):
         v = v.reshape(B, Skv, self.heads, self.dim_head)
         out = multi_head_attention(q, k, v)
         out = out.reshape(B, S, inner)
-        return nn.Dense(x.shape[-1] if self.context_dim is None else inner,
-                        name="to_out", dtype=self.dtype)(out)
+        return to_out(out)
 
 
 class GEGLUFeedForward(nn.Module):
-    """GEGLU feed-forward, mult=4 (attention.py FeedForward)."""
+    """GEGLU feed-forward, mult=4 (attention.py FeedForward).
+
+    Stays plain XLA deliberately: a fused Pallas GEGLU (weights VMEM-
+    resident, no HBM round-trip for the [tokens, 2*inner] projection) was
+    measured SLOWER end-to-end on v5e (1.79 -> 1.95 s/UNet eval) — the
+    pallas_call is a fusion barrier that forces the surrounding LayerNorm/
+    residual chain to materialize, costing more than the projection
+    round-trip saves."""
     mult: int = 4
     dtype: Any = None
 

@@ -152,3 +152,29 @@ def test_unet_bf16_policy_grads_f32(tiny_unet):
     g = jax.grad(loss)(params)
     leaves = jax.tree.leaves(g)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_crossattn_len1_shortcut_exact():
+    # softmax over a single key is 1, so the length-1-context shortcut must
+    # equal the generic attention path exactly (same params, same output)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from street_crafter_tpu.models.vdm.layers import CrossAttention
+    from street_crafter_tpu.ops.attention import attention_xla
+
+    mod = CrossAttention(heads=2, dim_head=8, context_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 12, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 16))
+    params = mod.init(jax.random.PRNGKey(2), x, ctx)
+    out = mod.apply(params, x, ctx)
+
+    # generic reference computed from the same params
+    p = params["params"]
+    q = (x @ p["to_q"]["kernel"]).reshape(3, 12, 2, 8)
+    k = (ctx @ p["to_k"]["kernel"]).reshape(3, 1, 2, 8)
+    v = (ctx @ p["to_v"]["kernel"]).reshape(3, 1, 2, 8)
+    ref = attention_xla(q, k, v).reshape(3, 12, 16)
+    ref = ref @ p["to_out"]["kernel"] + p["to_out"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
