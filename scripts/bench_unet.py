@@ -30,13 +30,16 @@ def main():
     ap.add_argument("--height", type=int, default=72)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--grad", action="store_true",
+                    help="time a fine-tune style fwd+bwd step (B=1, no CFG "
+                         "doubling, remat on unless --no-remat)")
     args = ap.parse_args()
 
     cfg = UNetConfig(remat=not args.no_remat,
                      dtype=None if args.no_policy else "bfloat16")
     model = VideoUNet(cfg)
     T = args.frames
-    B = 2  # CFG doubling
+    B = 1 if args.grad else 2  # CFG doubling at eval; fine-tune is bs=1/chip
     BT = B * T
     H, W = args.height, args.width
 
@@ -51,7 +54,8 @@ def main():
         guide = jax.random.normal(ks[3], (BT, H, W, cfg.in_channels // 2),
                                   jnp.bfloat16)
         gscale = jnp.concatenate(
-            [jnp.ones((T,)), jnp.zeros((T,))]).astype(jnp.float32)
+            [jnp.ones((T,))] + [jnp.zeros((T,))] * (B - 1)) \
+            .astype(jnp.float32)
         return x, t, ctx, y, cond_mask, guide, gscale
 
     x, t, ctx, y, cm, g, gs = inputs(0)
@@ -76,14 +80,30 @@ def main():
     print(f"init done: {n_params/1e9:.2f} B params, "
           f"{time.perf_counter()-t0:.1f} s", flush=True)
 
-    @jax.jit
-    def fwd(params, x, t, ctx, y, cm, g, gs):
-        out = model.apply(params, x, t, ctx, y, num_frames=T, cond_mask=cm,
-                          guidance_input=g, guidance_scale=gs)
-        # scalar so the end-of-run host fetch is one small transfer;
-        # block_until_ready does NOT reliably wait over the axon tunnel —
-        # materialize the LAST scalar instead (device executes in-order)
-        return jnp.mean(out.astype(jnp.float32))
+    if args.grad:
+        def loss_fn(params, x, t, ctx, y, cm, g, gs):
+            out = model.apply(params, x, t, ctx, y, num_frames=T,
+                              cond_mask=cm, guidance_input=g,
+                              guidance_scale=gs)
+            return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+        @jax.jit
+        def fwd(params, x, t, ctx, y, cm, g, gs):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, t, ctx, y,
+                                                      cm, g, gs)
+            # one representative grad leaf + loss -> single scalar fetch
+            leaf = jax.tree.leaves(grads)[0]
+            return loss + jnp.sum(leaf.astype(jnp.float32)) * 1e-20
+    else:
+        @jax.jit
+        def fwd(params, x, t, ctx, y, cm, g, gs):
+            out = model.apply(params, x, t, ctx, y, num_frames=T,
+                              cond_mask=cm, guidance_input=g,
+                              guidance_scale=gs)
+            # scalar so the end-of-run host fetch is one small transfer;
+            # block_until_ready does NOT reliably wait over the axon
+            # tunnel — materialize the LAST scalar (device is in-order)
+            return jnp.mean(out.astype(jnp.float32))
 
     batches = [inputs(i) for i in range(3)]
     print("val:", float(fwd(params, *batches[0])), flush=True)
@@ -93,7 +113,8 @@ def main():
     outs = [fwd(params, *batches[i % 3]) for i in range(args.iters)]
     _ = float(outs[-1])
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"UNet CFG eval {T}f {H}x{W} "
+    print(f"UNet {'fine-tune fwd+bwd' if args.grad else 'CFG eval'} "
+          f"{T}f {H}x{W} "
           f"params={'f32' if args.f32 else 'bf16'} "
           f"policy={'none' if args.no_policy else 'bf16'}: "
           f"{dt*1e3:.0f} ms/eval -> {dt*50:.1f} s per 50-step sample")

@@ -205,7 +205,10 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_backward(q, k, v, o, lse, g, block_q: int = 512,
-                    block_k: int = 1024):
+                    block_k: int = 512):
+    # block_k 512 (not the forward's 1024): the dkv kernel additionally
+    # holds whole q/do/lse/delta resident, and [1024, 512] f32 s/p/dp
+    # intermediates blow the 16 MB scoped VMEM at 9216 tokens
     bh, sq, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
