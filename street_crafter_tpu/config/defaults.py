@@ -199,6 +199,10 @@ def default_config() -> Config:
             # engine compute dtype (precision.compute_dtype analog for the
             # VDM stack); "" -> flax promotion (f32). Params stay f32.
             "compute_dtype": "bfloat16",
+            # LoRA adapters on every attention block (attention.py add_lora;
+            # pairs with param_groups.train_peft_adapters)
+            "add_lora": False,
+            "lora_rank": 16,
             "config_path": "",
             "ckpt_path": "",
             "height": 576,

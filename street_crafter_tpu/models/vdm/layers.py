@@ -208,10 +208,18 @@ class VideoResBlock(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Multi-head (self/cross) attention (attention.py:326-421, minus LoRA)."""
+    """Multi-head (self/cross) attention (attention.py:326-421), with the
+    reference's optional rank-decomposed LoRA adapters (attention.py:294-316:
+    down init N(0, 1/rank), up zero-init => adapters start as a no-op; the
+    PEFT fine-tune group trains only these + cond_time_stack_embed,
+    diffusion_condition.py:320-330). Converted checkpoints arrive with LoRA
+    already merged (bin_to_st semantics), so adapters always init fresh."""
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
+    add_lora: bool = False
+    lora_rank: int = 16
+    lora_scale: float = 1.0
     dtype: Any = None
 
     @nn.compact
@@ -223,6 +231,26 @@ class CrossAttention(nn.Module):
         to_v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)
         to_out = nn.Dense(x.shape[-1] if self.context_dim is None else inner,
                           name="to_out", dtype=self.dtype)
+
+        if self.add_lora:
+            r = self.lora_rank
+
+            def lora(name, out_dim):
+                down = nn.Dense(r, use_bias=False, dtype=self.dtype,
+                                name=f"{name}_adapter_down",
+                                kernel_init=nn.initializers.normal(1.0 / r))
+                up = nn.Dense(out_dim, use_bias=False, dtype=self.dtype,
+                              name=f"{name}_adapter_up",
+                              kernel_init=nn.initializers.zeros)
+                return lambda t: self.lora_scale * up(down(t))
+
+            lq = lora("q", inner)
+            lk = lora("k", inner)
+            lv = lora("v", inner)
+            lo = lora("out", x.shape[-1] if self.context_dim is None
+                      else inner)
+        else:
+            lq = lk = lv = lo = lambda t: 0.0
         if context is not None and context.shape[1] == 1:
             # length-1 context (the CLIP image embedding): softmax over a
             # single key is identically 1, so attention reduces EXACTLY to
@@ -232,12 +260,15 @@ class CrossAttention(nn.Module):
             # the parameter tree matches converted checkpoints (XLA DCEs
             # the dead compute).
             _ = to_q(x[:, :1]) + to_k(ctx[:, :1])
-            out = to_out(to_v(ctx))                       # [B, 1, C]
+            if self.add_lora:
+                _ = lq(x[:, :1]) + lk(ctx[:, :1])
+            v = to_v(ctx) + lv(ctx)
+            out = to_out(v) + lo(v)                       # [B, 1, C]
             return jnp.broadcast_to(out, (x.shape[0], x.shape[1],
                                           out.shape[-1]))
-        q = to_q(x)
-        k = to_k(ctx)
-        v = to_v(ctx)
+        q = to_q(x) + lq(x)
+        k = to_k(ctx) + lk(ctx)
+        v = to_v(ctx) + lv(ctx)
         B, S, _ = q.shape
         Skv = k.shape[1]
         q = q.reshape(B, S, self.heads, self.dim_head)
@@ -245,7 +276,7 @@ class CrossAttention(nn.Module):
         v = v.reshape(B, Skv, self.heads, self.dim_head)
         out = multi_head_attention(q, k, v)
         out = out.reshape(B, S, inner)
-        return to_out(out)
+        return to_out(out) + lo(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -274,16 +305,18 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
+    add_lora: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context=None):
         dt = self.dtype
-        x = CrossAttention(self.heads, self.dim_head, name="attn1", dtype=dt)(
+        x = CrossAttention(self.heads, self.dim_head, name="attn1",
+                           add_lora=self.add_lora, dtype=dt)(
             nn.LayerNorm(name="norm1", dtype=dt)(x)) + x
         x = CrossAttention(self.heads, self.dim_head,
                            context_dim=self.context_dim, name="attn2",
-                           dtype=dt)(
+                           add_lora=self.add_lora, dtype=dt)(
             nn.LayerNorm(name="norm2", dtype=dt)(x), context) + x
         x = GEGLUFeedForward(name="ff", dtype=dt)(
             nn.LayerNorm(name="norm3", dtype=dt)(x)) + x
@@ -298,6 +331,7 @@ class VideoTransformerBlock(nn.Module):
     dim_head: int
     context_dim: Optional[int] = None
     ff_in: bool = True
+    add_lora: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -315,11 +349,12 @@ class VideoTransformerBlock(nn.Module):
         if self.ff_in:
             x = GEGLUFeedForward(name="ff_in", dtype=dt)(
                 nn.LayerNorm(name="norm_in", dtype=dt)(x)) + x
-        x = CrossAttention(self.heads, self.dim_head, name="attn1", dtype=dt)(
+        x = CrossAttention(self.heads, self.dim_head, name="attn1",
+                           add_lora=self.add_lora, dtype=dt)(
             nn.LayerNorm(name="norm1", dtype=dt)(x)) + x
         x = CrossAttention(self.heads, self.dim_head,
                            context_dim=self.context_dim, name="attn2",
-                           dtype=dt)(
+                           add_lora=self.add_lora, dtype=dt)(
             nn.LayerNorm(name="norm2", dtype=dt)(x), context) + x
         x = GEGLUFeedForward(name="ff", dtype=dt)(
             nn.LayerNorm(name="norm3", dtype=dt)(x)) + x
@@ -339,6 +374,7 @@ class SpatialVideoTransformer(nn.Module):
     merge_strategy: str = "learned_with_images"
     merge_factor: float = 0.5
     max_time_embed_period: int = 10000
+    add_lora: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -366,10 +402,12 @@ class SpatialVideoTransformer(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
+                add_lora=self.add_lora,
                 name=f"block_{d}", dtype=self.dtype)(h, context)
             h_mix = h + emb
             h_mix = VideoTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
+                add_lora=self.add_lora,
                 name=f"time_block_{d}", dtype=self.dtype)(
                 h_mix, time_context, num_frames)
             h = AlphaBlender(self.merge_factor, self.merge_strategy,

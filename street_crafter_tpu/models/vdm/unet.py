@@ -47,6 +47,11 @@ class UNetConfig:
     merge_strategy: str = "learned_with_images"
     merge_factor: float = 0.5
     use_spatial_context: bool = True
+    # LoRA adapters on every attention block (attention.py:294-316; the
+    # train_peft_adapters fine-tune group). Fresh-initialized (no-op at
+    # init); converted checkpoints arrive with LoRA merged.
+    add_lora: bool = False
+    lora_rank: int = 16
     # activation checkpointing of res/attention blocks (the reference trains
     # with use_checkpoint: True, waymo_high_res_mix.yaml:35); jax.checkpoint
     # rematerializes block activations in the backward pass
@@ -114,7 +119,8 @@ class VideoUNet(nn.Module):
                 context_dim=cfg.context_dim,
                 use_spatial_context=cfg.use_spatial_context,
                 merge_strategy=cfg.merge_strategy,
-                merge_factor=cfg.merge_factor, name=name, dtype=dt)
+                merge_factor=cfg.merge_factor, add_lora=cfg.add_lora,
+                name=name, dtype=dt)
 
         def res(out_ch, name):
             return ResCls(

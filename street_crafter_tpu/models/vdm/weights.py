@@ -32,7 +32,9 @@ def engine_from_config(dcfg) -> EngineConfig:
     # models/vdm/layers.py header for the promotion-leak rationale.
     dt = dcfg.get("compute_dtype", "bfloat16") or None
     return EngineConfig(
-        unet=UNetConfig(dtype=dt), vae=VAEConfig(dtype=dt),
+        unet=UNetConfig(dtype=dt, add_lora=bool(dcfg.get("add_lora", False)),
+                        lora_rank=int(dcfg.get("lora_rank", 16))),
+        vae=VAEConfig(dtype=dt),
         clip=CLIPVisualConfig(dtype=dt),
         num_frames=dcfg.sample_frames,
         num_steps=dcfg.num_steps,

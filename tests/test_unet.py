@@ -178,3 +178,42 @@ def test_crossattn_len1_shortcut_exact():
     ref = ref @ p["to_out"]["kernel"] + p["to_out"]["bias"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_lora_adapters_noop_at_init_and_peft_group():
+    """add_lora: zero-init up => output identical to the base model with the
+    same base params; the PEFT partition trains only adapters (+
+    cond_time_stack_embed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from street_crafter_tpu.models.vdm.layers import CrossAttention
+
+    base = CrossAttention(heads=2, dim_head=8)
+    lora = CrossAttention(heads=2, dim_head=8, add_lora=True, lora_rank=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    pl_ = lora.init(jax.random.PRNGKey(1), x)
+    names = set(pl_["params"].keys())
+    assert {"q_adapter_down", "q_adapter_up", "k_adapter_down",
+            "v_adapter_up", "out_adapter_down"} <= names
+    # up-adapters zero-init => exact no-op vs base weights
+    pb = {"params": {k: v for k, v in pl_["params"].items()
+                     if "adapter" not in k}}
+    np.testing.assert_allclose(np.asarray(lora.apply(pl_, x)),
+                               np.asarray(base.apply(pb, x)), atol=1e-6)
+
+    # len-1 cross-attn shortcut path with lora stays exact too
+    loc = CrossAttention(heads=2, dim_head=8, context_dim=16, add_lora=True,
+                         lora_rank=4)
+    bc = CrossAttention(heads=2, dim_head=8, context_dim=16)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16))
+    plc = loc.init(jax.random.PRNGKey(3), x, ctx)
+    pbc = {"params": {k: v for k, v in plc["params"].items()
+                      if "adapter" not in k}}
+    np.testing.assert_allclose(np.asarray(loc.apply(plc, x, ctx)),
+                               np.asarray(bc.apply(pbc, x, ctx)), atol=1e-6)
+
+    from street_crafter_tpu.training.vdm_trainer import is_peft_param
+    assert is_peft_param(("unet", "block", "attn1", "q_adapter_down",
+                          "kernel"))
+    assert not is_peft_param(("unet", "block", "attn1", "to_q", "kernel"))
