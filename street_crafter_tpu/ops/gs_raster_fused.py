@@ -1,29 +1,32 @@
 """Fused Pallas compositing for the Gaussian rasterizer (eval/render path).
 
 Replaces phase 2 of ops/gs_raster.py (fine binning + cumprod compositing)
-with one Pallas kernel. The XLA path materializes several [kf, pixels]
-intermediates per fine row in HBM (alpha, 1-alpha, inclusive/exclusive
-transmittance, weights) and pays a per-fine-tile ``approx_min_k``; here the
-whole chain runs in VMEM with NO fine selection at all — each fine-tile row
-walks its parent coarse tile's depth-sorted candidate list directly:
+with one Pallas kernel per (coarse tile, 16px fine row). The XLA path
+materializes several [kf, pixels] intermediates per fine row in HBM and
+pays a per-fine-tile ``approx_min_k``; here everything after the coarse
+binning runs in VMEM:
 
 - grid = (coarse_tile, fine_row): the [kc, A] candidate block is fetched
   into VMEM once per coarse tile and reused by its CF fine rows (Pallas
   skips the DMA when the block index is unchanged);
-- per step, candidates stream in blocks of 128 through an early-exiting
-  ``lax.while_loop``: compute alpha [128, ts*cts], turn the sequential
-  over-operator into one MXU matmul (exclusive prefix-sum of log(1-alpha)
-  via a strict-lower-triangular ones matrix — no cumprod primitive needed),
-  accumulate color via a second matmul, carry transmittance in scratch;
-- the loop stops as soon as every pixel of the row is saturated
-  (max T < 1/255) or the (depth-sorted) candidate list runs out — the CUDA
-  rasterizer's per-pixel early termination (gsplat rasterize_to_pixels), at
-  row granularity, which static-shape XLA cannot express.
+- phase 1 COMPACTS the tile's depth-sorted candidates to the row's
+  intersecting ones via MXU indicator matmuls (see _composite_kernel) —
+  every XLA-side per-row refinement loses outright on v5e (approx_min_k
+  aggregation ~19 ms at [936, 4096] -> 1024, lax.sort ~1 s, general
+  gathers ~20 ms);
+- phase 2 streams the compacted list in blocks of 128 through an
+  early-exiting ``lax.while_loop``: Cholesky-factored alpha evaluation,
+  the sequential over-operator as an exclusive prefix-sum of log(1-alpha)
+  via one strict-lower-triangular ones matmul, color accumulation via a
+  second matmul, log-transmittance carried in scratch;
+- the loop stops when every pixel of the row saturates (max T < 1/255) or
+  the candidates run out — the CUDA rasterizer's per-pixel early
+  termination (gsplat rasterize_to_pixels) at row granularity, which
+  static-shape XLA cannot express.
 
-Compared to the XLA fine stage this composites from the FULL coarse
-candidate list (no max_per_tile capacity, no fine-stage recall loss), so it
-is both faster and closer to the oracle. Forward-only: training/backward
-keeps the XLA path (ops/gs_raster.py) for autodiff + absgrad.
+Forward-only: training/backward keeps the XLA path (ops/gs_raster.py) for
+autodiff + absgrad. Measured (BASELINE.md): 47.2 FPS at 1066x1600 over a
+600k heavy-tailed scene vs 20.4 FPS for the XLA path at training fidelity.
 
 Reference parity: street_gaussian_renderer.py:243-280 (gsplat
 rasterize_to_pixels semantics: alpha clamp 0.999, 1/255 cutoff, over-
@@ -39,14 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gs_raster import ALPHA_CLAMP, ALPHA_MIN, RasterOutput, _INF
+from .gs_raster import RasterOutput, _INF
 
 _KB = 128          # candidate block (sublane axis of the alpha matrix)
-_STOP_T = ALPHA_MIN  # transmittance saturation threshold (CUDA uses 1e-4;
-# 1/255 matches our XLA path's alpha cutoff scale)
-
-
-_LOG_STOP_T = -5.545   # log(1/255)
+# saturation threshold: T < 1/255 (CUDA uses 1e-4; 1/255 matches our XLA
+# path's alpha cutoff scale). Carried in log space by the kernel.
+_LOG_STOP_T = -5.545      # log(1/255)
 _LOG_CLAMP = -0.0010005   # log(ALPHA_CLAMP) = log(0.999)
 
 
