@@ -102,13 +102,12 @@ def main():
     from street_crafter_tpu.models.gs import renderer as rmod
 
     ref_img = None
-    for kc, kr, recall, cf, sel, b16, dbg in (
-            (4096, 1024, 0.85, 8, "approx", False, False),
-            (4096, 2048, 0.85, 8, "approx", False, False),
-            (3072, 1024, 0.85, 8, "approx", False, False),
-            (4096, 1024, 0.8, 8, "approx", False, False)):
+    for kc, kr, recall, cf, sel, b16, dbg, ph1 in (
+            (4096, 1024, 0.85, 8, "approx", False, True, False),   # no kernel
+            (4096, 1024, 0.85, 8, "approx", False, False, True),   # phase1 only
+            (4096, 1024, 0.85, 8, "approx", False, False, False)):  # full
         def full(flat, w2c, kc=kc, kr=kr, recall=recall, cf=cf, sel=sel,
-                 b16=b16, dbg=dbg, want_img=False):
+                 b16=b16, dbg=dbg, ph1=ph1, want_img=False):
             proj = rmod.project_gaussians(
                 flat.xyz, flat.rotation, flat.scaling, w2c, Kj, W, H,
                 mask=flat.valid)
@@ -126,13 +125,13 @@ def main():
                 proj.valid, proj.radii, width=W, height=H, tile_size=16,
                 coarse_factor=cf, max_per_coarse=kc, max_per_row=kr,
                 select_method=sel, recall_target=recall, bf16_composite=b16,
-                _debug_no_kernel=dbg)
+                _debug_no_kernel=dbg, _debug_phase1=ph1)
             if want_img:
                 return out.colors[..., :3].astype(jnp.float32)
             return jnp.sum(out.colors[..., :3].astype(jnp.float32))
         dt = timed(jax.jit(full), [(flat, w) for w in w2cs])
-        if dbg:
-            acc = "pipeline-only"
+        if dbg or ph1:
+            acc = "pipeline-only" if dbg else "phase1-only"
         else:
             img = np.asarray(jax.jit(
                 lambda f, w: full(f, w, want_img=True))(flat, w2cs[0]))
@@ -143,8 +142,8 @@ def main():
                 mse = float(np.mean((img - ref_img) ** 2))
                 acc = f"{-10*np.log10(mse + 1e-12):.1f} dB"
         print(f"FULL fused kc={kc} kr={kr} r={recall} b16={int(b16)} "
-              f"dbg={int(dbg)}: {dt*1e3:8.2f} ms  ({1/dt:.1f} FPS)  "
-              f"vs-full: {acc}")
+              f"dbg={int(dbg)} ph1={int(ph1)}: {dt*1e3:8.2f} ms  "
+              f"({1/dt:.1f} FPS)  vs-full: {acc}")
 
 
 if __name__ == "__main__":

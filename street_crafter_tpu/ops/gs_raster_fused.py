@@ -1,32 +1,37 @@
 """Fused Pallas compositing for the Gaussian rasterizer (eval/render path).
 
 Replaces phase 2 of ops/gs_raster.py (fine binning + cumprod compositing)
-with one Pallas kernel per (coarse tile, 16px fine row). The XLA path
-materializes several [kf, pixels] intermediates per fine row in HBM and
-pays a per-fine-tile ``approx_min_k``; here everything after the coarse
-binning runs in VMEM:
+with two Pallas kernels after the XLA coarse binning:
 
-- grid = (coarse_tile, fine_row): the [kc, A] candidate block is fetched
-  into VMEM once per coarse tile and reused by its CF fine rows (Pallas
-  skips the DMA when the block index is unchanged);
-- phase 1 COMPACTS the tile's depth-sorted candidates to the row's
-  intersecting ones via MXU indicator matmuls (see _composite_kernel) —
-  every XLA-side per-row refinement loses outright on v5e (approx_min_k
-  aggregation ~19 ms at [936, 4096] -> 1024, lax.sort ~1 s, general
-  gathers ~20 ms);
-- phase 2 streams the compacted list in blocks of 128 through an
-  early-exiting ``lax.while_loop``: Cholesky-factored alpha evaluation,
-  the sequential over-operator as an exclusive prefix-sum of log(1-alpha)
-  via one strict-lower-triangular ones matmul, color accumulation via a
-  second matmul, log-transmittance carried in scratch;
-- the loop stops when every pixel of the row saturates (max T < 1/255) or
-  the candidates run out — the CUDA rasterizer's per-pixel early
-  termination (gsplat rasterize_to_pixels) at row granularity, which
-  static-shape XLA cannot express.
+1. ``_compact_kernel`` — grid (coarse tile,): compacts the tile's
+   depth-sorted candidate list into per-16px-row lists ENTIRELY in VMEM.
+   All CF fine rows of a tile are processed in ONE program: per 128-wide
+   candidate block it computes a [CF, 128] y-overlap mask (the y/depth
+   columns arrive lane-major so no transposes are needed), ONE batched
+   exclusive-prefix matmul against the strict upper-triangular ones
+   matrix, then CF independent one-hot/update chains (``indicator @
+   block`` accumulates candidates into their compacted slots —
+   order-preserving, no sort, no gather). Row batching matters because
+   the walk is LATENCY-bound, not FLOP-bound: one program per (tile, row)
+   costs 8x more serial block-iterations for the same math (measured
+   23.3 -> 4.6 ms on a worst-case synthetic tile set; see
+   scripts/bench_phase1_variants.py). Every XLA-side per-row refinement
+   loses outright on v5e (approx_min_k aggregation ~19 ms at
+   [936, 4096] -> 1024, lax.sort ~1 s, general gathers ~20 ms).
+
+2. ``_composite_kernel`` — grid (coarse tile, fine row): streams a row's
+   compacted list in blocks of 128 through an early-exiting
+   ``lax.while_loop``: Cholesky-factored alpha evaluation, the sequential
+   over-operator as an exclusive prefix-sum of log(1-alpha) via one
+   strict-lower-triangular ones matmul, color accumulation via a second
+   matmul, log-transmittance carried in scratch. The loop stops when
+   every pixel of the row saturates (max T < 1/255) or the candidates run
+   out — the CUDA rasterizer's per-pixel early termination (gsplat
+   rasterize_to_pixels) at row granularity, which static-shape XLA cannot
+   express. Valid-slot counts from kernel 1 arrive via scalar prefetch.
 
 Forward-only: training/backward keeps the XLA path (ops/gs_raster.py) for
-autodiff + absgrad. Measured (BASELINE.md): 47.2 FPS at 1066x1600 over a
-600k heavy-tailed scene vs 20.4 FPS for the XLA path at training fidelity.
+autodiff + absgrad.
 
 Reference parity: street_gaussian_renderer.py:243-280 (gsplat
 rasterize_to_pixels semantics: alpha clamp 0.999, 1/255 cutoff, over-
@@ -51,39 +56,93 @@ _LOG_STOP_T = -5.545      # log(1/255)
 _LOG_CLAMP = -0.0010005   # log(ALPHA_CLAMP) = log(0.999)
 
 
-def _composite_kernel(cand_ref, out_ref, comp_ref, acc_ref, lt_ref, *,
-                      kc: int, kf: int, A: int, C: int, ts: int, cts: int,
-                      CF: int, TWc: int):
-    """One fine-tile row (ts x cts pixels) of one coarse tile, two phases:
-
-    1. ROW COMPACTION (MXU): the coarse tile's depth-sorted candidate list
-       is compacted to this row's intersecting candidates entirely in VMEM.
-       Per 128-block: y-overlap mask, exclusive positions via the strict
-       lower-triangular ones matmul, a one-hot indicator [kf, 128]
-       (iota == position), and ``indicator @ block`` accumulates candidates
-       into their compacted slots — order-preserving, no sort, no gather.
-       (XLA-side alternatives all lose: approx_min_k aggregation ~19 ms,
-       lax.sort ~1 s for these shapes on v5e.)
-    2. COMPOSITING over the compacted list (typically ~kc/8 of the tile's
-       candidates intersect a 16px row): per-candidate alpha via the conic's
-       Cholesky factor — sigma = 0.5*(z1^2+z2^2) from ONE [KB, 8] @ [8, P]
-       matmul against the row's pixel monomials (cancellation-free in
-       tile-local coords); opacity folded in log space; transmittance
-       carried as log T; the over-operator prefix product via the same
-       triangular matmul; early exit on saturation (maxlog T < log 1/255).
-
-    Candidate columns 0..A-1: [l11, l21, c1, l22, c2, lopa, colors...,
-    depth, y0, y1, pad...] with c1/c2 pre-shifted to coarse-tile-local
-    pixel coordinates."""
-    c = pl.program_id(0)           # coarse tile index (row-major)
-    fy = pl.program_id(1)          # fine row within the coarse tile
-    P = ts * cts
-    DEPTH = 6 + C                  # depth column index
-
+def _compact_kernel(cand_ref, yb_ref, comp_ref, cnt_ref, *,
+                    kc: int, kf: int, A: int, ts: int, CF: int, TWc: int):
+    """Compact one coarse tile's depth-sorted candidates into CF per-row
+    lists. ``cand_ref`` [1, kc, A] sublane-major attributes; ``yb_ref``
+    [1, 4, kc] lane-major (y0, y1, depth, pad) for the mask path.
+    Outputs: ``comp_ref`` [1, CF, kf, A] compacted rows, ``cnt_ref``
+    [1, 8, CF] i32 valid-slot counts (sublane dim padded to 8 for Mosaic;
+    row 0 carries the counts)."""
+    c = pl.program_id(0)
     tyc = c // TWc
-    # global y bounds of this row (y0/y1 columns are global coords)
-    ry0 = (tyc * cts + fy * ts).astype(jnp.float32)
-    ry1 = ry0 + ts
+    ty0 = (tyc * (ts * CF)).astype(jnp.float32)
+
+    # exclusive prefix along LANES: mask [CF, KB] @ strict-UPPER ones
+    ri = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 1)
+    triu = (ri < ci).astype(jnp.float32)
+
+    comp_ref[:] = jnp.zeros_like(comp_ref)
+    nb = kc // _KB
+    WIN = min(_KB + 8, kf)   # slot window: floor is 8-sublane aligned, so
+    # positions within a block span < KB + 8 rows from it
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, _KB), 0) \
+        .astype(jnp.float32)
+
+    def cbody(carry):
+        b = carry[0]
+        bases = carry[1:CF + 1]
+        blk = cand_ref[0, pl.ds(b * _KB, _KB), :]          # [KB, A]
+        yrow = yb_ref[0, :, pl.ds(b * _KB, _KB)]           # [4, KB]
+        y0r = yrow[0:1, :]
+        y1r = yrow[1:2, :]
+        alive = yrow[2:3, :] < 1e10                        # [1, KB]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (CF, 1), 0) \
+            .astype(jnp.float32)
+        rb0 = ty0 + rr * ts                                # [CF, 1]
+        mask = (y0r < rb0 + ts) & (y1r > rb0) & alive      # [CF, KB]
+        maskf = mask.astype(jnp.float32)
+        epos = jax.lax.dot_general(                        # [CF, KB]
+            maskf, triu, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        new_bases = []
+        for r in range(CF):   # CF independent chains per iteration
+            base_r = bases[r]
+            floor_r = jnp.clip((base_r // 8) * 8, 0, kf - WIN)
+            # masked candidates -> position row; -1 never matches the iota
+            rel = jnp.where(mask[r:r + 1, :], epos[r:r + 1, :]
+                            + (base_r - floor_r).astype(jnp.float32),
+                            -1.0)                          # [1, KB]
+            ind = (slot_iota == rel).astype(jnp.float32)   # [WIN, KB]
+            upd = jax.lax.dot_general(
+                ind, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            comp_ref[0, r, pl.ds(floor_r, WIN), :] += upd
+            new_bases.append(
+                base_r + jnp.sum(maskf[r:r + 1, :]).astype(jnp.int32))
+        return (b + 1, *new_bases, jnp.all(alive))
+
+    def ccond(carry):
+        b = carry[0]
+        bases = carry[1:CF + 1]
+        tail = carry[-1]
+        any_open = bases[0] < kf
+        for r in range(1, CF):
+            any_open = any_open | (bases[r] < kf)
+        return (b < nb) & any_open & tail
+
+    init = (0,) + tuple(jnp.int32(0) for _ in range(CF)) + (jnp.bool_(True),)
+    out = jax.lax.while_loop(ccond, cbody, init)
+    # scatter the CF scalar counts into the output lanes via iota selects
+    cnt = jnp.zeros((8, CF), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, CF), 1)
+    for r in range(CF):
+        cnt = jnp.where(lane == r, jnp.minimum(out[r + 1], kf), cnt)
+    cnt_ref[0] = cnt
+
+
+def _composite_kernel(cnt_ref, comp_ref, out_ref, acc_ref, lt_ref, *,
+                      kf: int, A: int, C: int, ts: int, cts: int,
+                      TWc: int, bf16_prefix: bool = False):
+    """Composite one fine-tile row (ts x cts pixels) over its compacted
+    candidate list (see module docstring). Candidate columns 0..A-1:
+    [l11, l21, c1, l22, c2, lopa, colors...] with c1/c2 pre-shifted to
+    coarse-tile-local pixel coordinates."""
+    c = pl.program_id(0)
+    fy = pl.program_id(1)
+    P = ts * cts
+    base = jnp.minimum(cnt_ref[c, fy], kf).astype(jnp.float32)
 
     # tile-local pixel-center coords, pixel order p = py*cts + px
     half = 0.5 * cts
@@ -106,59 +165,13 @@ def _composite_kernel(cand_ref, out_ref, comp_ref, acc_ref, lt_ref, *,
     ci = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 1)
     tri = (ci < ri).astype(jnp.float32)
 
-    comp_ref[:] = jnp.zeros_like(comp_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     lt_ref[:] = jnp.zeros_like(lt_ref)
-
-    nb = kc // _KB
-    WIN = min(2 * _KB, kf)   # slot window: positions advance <= KB per
-    # block, so the one-hot indicator only needs 2*KB rows anchored at the
-    # running base (a full [kf, KB] indicator costs ~4x more VPU)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, _KB), 0) \
-        .astype(jnp.float32)
-
-    # ---- phase 1: compact this row's intersecting candidates ------------
-    def cbody(carry):
-        b, base, _ = carry
-        blk = cand_ref[0, pl.ds(b * _KB, _KB), :]         # [KB, A]
-        depth = blk[:, DEPTH:DEPTH + 1]
-        cy0 = blk[:, DEPTH + 1:DEPTH + 2]
-        cy1 = blk[:, DEPTH + 2:DEPTH + 3]
-        alive = depth < 1e10
-        mask = (cy0 < ry1) & (cy1 > ry0) & alive          # [KB, 1]
-        maskf = mask.astype(jnp.float32)
-        epos = jax.lax.dot_general(                       # exclusive prefix
-            tri, maskf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [KB, 1]
-        # window anchor (multiple of KB, clamped so the window fits)
-        floor = jnp.clip((base // _KB) * _KB, 0, kf - WIN)
-        # fold the mask into the position row (masked -> -1 never matches):
-        # the [WIN, KB] indicator is then ONE equality compare + cast
-        rel = jnp.where(mask[:, 0], epos[:, 0]
-                        + (base - floor).astype(jnp.float32),
-                        -1.0)[None, :]                    # [1, KB]
-        ind = (slot_iota == rel).astype(jnp.float32)      # [WIN, KB]
-        upd = jax.lax.dot_general(
-            ind, blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        comp_ref[pl.ds(floor, WIN), :] += upd
-        base = base + jnp.sum(maskf).astype(jnp.int32)
-        return b + 1, base, jnp.all(alive)
-
-    def ccond(carry):
-        b, base, tail = carry
-        return (b < nb) & (base < kf) & tail
-
-    _, base_i, _ = jax.lax.while_loop(
-        ccond, cbody, (0, jnp.int32(0), jnp.bool_(True)))
-    base = base_i.astype(jnp.float32)
-
-    # ---- phase 2: composite the compacted list --------------------------
     nkf = kf // _KB
 
     def body(carry):
         b, _ = carry
-        blk = comp_ref[pl.ds(b * _KB, _KB), :]            # [KB, A]
+        blk = comp_ref[0, 0, pl.ds(b * _KB, _KB), :]      # [KB, A]
         lopa = blk[:, 5:6]
         # slot validity: zero-filled tail slots must not composite
         slot = jax.lax.broadcasted_iota(jnp.int32, (_KB, 1), 0) \
@@ -183,16 +196,30 @@ def _composite_kernel(cand_ref, out_ref, comp_ref, acc_ref, lt_ref, *,
         # numerically wrong near alpha=1 (1-alpha underflows bf16's 8-bit
         # mantissa exactly where near-opaque splats need it)
         log1m = jnp.log1p(-alpha)                         # [KB, P]
-        pre = jax.lax.dot_general(                        # exclusive prefix
-            tri, log1m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if bf16_prefix:
+            # prefix matmul in bf16: tri is 0/1 (exact), log1m entries are
+            # in [log(1-0.999), 0] so bf16 rounding is <=0.2% relative.
+            pre = jax.lax.dot_general(
+                tri.astype(jnp.bfloat16), log1m.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            pre = jax.lax.dot_general(                    # exclusive prefix
+                tri, log1m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         lt = lt_ref[0:1, :]                               # [1, P] log T
         w = alpha * jnp.exp(pre + lt)                     # [KB, P]
 
         col_t = blk[:, 6:6 + C].T                         # [C, KB]
-        acc_ref[0:C, :] += jax.lax.dot_general(
-            col_t, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if bf16_prefix:
+            acc_ref[0:C, :] += jax.lax.dot_general(
+                col_t.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc_ref[0:C, :] += jax.lax.dot_general(
+                col_t, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         # block total = exclusive prefix at the last row + its own term
         lt_new = lt + pre[_KB - 1:_KB, :] + log1m[_KB - 1:_KB, :]
@@ -215,7 +242,7 @@ def _composite_kernel(cand_ref, out_ref, comp_ref, acc_ref, lt_ref, *,
     static_argnames=("width", "height", "tile_size", "coarse_factor",
                      "max_per_coarse", "max_per_row", "select_method",
                      "recall_target", "bf16_composite", "with_stats",
-                     "_debug_no_kernel"))
+                     "_debug_no_kernel", "_debug_phase1"))
 def rasterize_pixels_fused(
     u: jax.Array,          # [N] pixel x
     v: jax.Array,          # [N] pixel y
@@ -237,11 +264,12 @@ def rasterize_pixels_fused(
     # the coarse capacity, so the refined walk is ~4x shorter
     select_method: str = "approx",
     recall_target: float = 0.95,
-    bf16_composite: bool = False,   # accepted for XLA-path signature
-    # compatibility; the kernel's elementwise chain stays f32 (log1p near
-    # alpha=1 needs f32, and Mosaic lacks bf16 compares/log1p on v5e)
+    bf16_composite: bool = False,   # bf16 MXU for the prefix + color
+    # matmuls; the elementwise chain stays f32 (log1p near alpha=1 needs
+    # f32, and Mosaic lacks bf16 compares/log1p on v5e)
     with_stats: bool = False,   # capacity-overflow counters
-    _debug_no_kernel: bool = False,   # bench: run everything but composite
+    _debug_no_kernel: bool = False,   # bench: run everything but kernels
+    _debug_phase1: bool = False,      # bench: compaction kernel only
 ) -> RasterOutput:
     ts = tile_size
     CF = coarse_factor
@@ -315,21 +343,23 @@ def rasterize_pixels_fused(
     vl = cand[..., 4] - ctry[:, None]
     c1 = -(cand[..., 0] * ul + cand[..., 1] * vl)
     c2 = -(cand[..., 3] * vl)
-    # columns: [l11, l21, c1, l22, c2, lopa, colors(C), depth, y0, y1]
+    # lane-major mask columns for the compaction kernel: (y0, y1, depth, 0)
+    yb = jnp.stack([cand[..., 6 + C], cand[..., 7 + C], cand_depth,
+                    jnp.zeros_like(cand_depth)], axis=1)   # [Tc, 4, kc]
+    # columns: [l11, l21, c1, l22, c2, lopa, colors(C)]
     cand = jnp.concatenate(
         [cand[..., 0:2], c1[..., None], cand[..., 3:4], c2[..., None],
-         cand[..., 5:6 + C], cand_depth[..., None],
-         cand[..., 6 + C:8 + C]], -1)
-    A = 6 + C + 3
+         cand[..., 5:6 + C]], -1)
+    A = 6 + C
     assert A >= 8, "kernel matmul reads candidate columns 0..7"
 
-    # per-row capacity for the kernel's in-VMEM compaction phase (a 16px
-    # row intersects ~kc/8 of its coarse tile's candidates)
+    # per-row capacity for the compaction kernel (a 16px row intersects
+    # ~kc/8 of its coarse tile's candidates)
     kf = max_per_row if max_per_row is not None else kc // 4
     kf = min(kc, max(_KB, -(-kf // _KB) * _KB))
     if with_stats:
-        y0g = y0[idxc]                                    # [Tc, kc]
-        y1g = y1[idxc]
+        y0g = yb[:, 0, :]                                 # [Tc, kc]
+        y1g = yb[:, 1, :]
         ry0s = cy0.reshape(-1, 1, 1) + (jnp.arange(CF, dtype=jnp.float32)
                                         * ts).reshape(1, -1, 1)
         rinter = ((y0g[:, None, :] < ry0s + ts) & (y1g[:, None, :] > ry0s)
@@ -341,24 +371,51 @@ def rasterize_pixels_fused(
 
     P = ts * cts
     if _debug_no_kernel:
-        z = jnp.full((height, width, C), jnp.sum(cand) * 1e-20)
+        z = jnp.full((height, width, C), jnp.sum(cand) * 1e-20
+                     + jnp.sum(yb) * 1e-20)
         return RasterOutput(colors=z, alpha=z[..., 0], stats=stats)
-    kernel = functools.partial(
-        _composite_kernel, kc=kc, kf=kf, A=A, C=C, ts=ts, cts=cts, CF=CF,
-        TWc=TWc)
-    packed = pl.pallas_call(
-        kernel,
-        grid=(Tc, CF),
-        in_specs=[pl.BlockSpec((1, kc, A), lambda c, f: (c, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, 8, P), lambda c, f: (c, f, 0, 0),
+
+    interpret = jax.default_backend() == "cpu"   # CPU tests
+    compact = functools.partial(
+        _compact_kernel, kc=kc, kf=kf, A=A, ts=ts, CF=CF, TWc=TWc)
+    comp, cnt = pl.pallas_call(
+        compact,
+        grid=(Tc,),
+        in_specs=[pl.BlockSpec((1, kc, A), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, CF, kf, A), lambda c: (c, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
+                   jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
+        interpret=interpret,
+    )(cand, yb)
+    cnt = cnt[:, 0, :]                                     # [Tc, CF]
+
+    if _debug_phase1:
+        z = jnp.full((height, width, C),
+                     jnp.sum(cnt).astype(jnp.float32) * 1e-20
+                     + jnp.sum(comp[:, :, 0, 0]) * 1e-20)
+        return RasterOutput(colors=z, alpha=z[..., 0], stats=stats)
+
+    composite = functools.partial(
+        _composite_kernel, kf=kf, A=A, C=C, ts=ts, cts=cts, TWc=TWc,
+        bf16_prefix=bf16_composite)
+    packed = pl.pallas_call(
+        composite,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Tc, CF),
+            in_specs=[pl.BlockSpec((1, 1, kf, A), lambda c, f, cnt: (c, f, 0, 0))],
+            out_specs=pl.BlockSpec((1, 1, 8, P), lambda c, f, cnt: (c, f, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
+                            pltpu.VMEM((8, P), jnp.float32)]),
         out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kf, A), jnp.float32),
-                        pltpu.VMEM((8, P), jnp.float32),
-                        pltpu.VMEM((8, P), jnp.float32)],
-        interpret=jax.default_backend() == "cpu",   # CPU tests
-    )(cand)
+        interpret=interpret,
+    )(cnt.reshape(Tc, CF), comp)
 
     # [Tc, CF(fy), 8, ts*cts] -> [H, W, 8] -> crop
     img = packed.reshape(THc, TWc, CF, 8, ts, cts)
