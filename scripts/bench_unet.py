@@ -30,13 +30,16 @@ def main():
     ap.add_argument("--height", type=int, default=72)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused temporal-stage Pallas kernel (eval only)")
     ap.add_argument("--grad", action="store_true",
                     help="time a fine-tune style fwd+bwd step (B=1, no CFG "
                          "doubling, remat on unless --no-remat)")
     args = ap.parse_args()
 
     cfg = UNetConfig(remat=not args.no_remat,
-                     dtype=None if args.no_policy else "bfloat16")
+                     dtype=None if args.no_policy else "bfloat16",
+                     fused_temporal=args.fused)
     model = VideoUNet(cfg)
     T = args.frames
     B = 1 if args.grad else 2  # CFG doubling at eval; fine-tune is bs=1/chip

@@ -375,7 +375,61 @@ class SpatialVideoTransformer(nn.Module):
     merge_factor: float = 0.5
     max_time_embed_period: int = 10000
     add_lora: bool = False
+    # Fuse the whole temporal stage (+emb, VideoTransformerBlock,
+    # AlphaBlender) into one Pallas kernel (ops/temporal_block.py).
+    # Eval-only (forward, bf16); falls back to the XLA modules whenever the
+    # kernel's structural conditions don't hold. Param tree is identical
+    # either way (the XLA path builds it at init).
+    fused_temporal: bool = False
     dtype: Any = None
+
+    def _fused_ok(self, C, num_frames, S, time_context):
+        return (self.fused_temporal
+                and not self.is_initializing()
+                and not self.add_lora
+                and C <= 384                      # weight VMEM residency
+                and self.dtype is not None
+                and jnp.dtype(self.dtype) == jnp.bfloat16
+                and num_frames > 1
+                and time_context is not None
+                and time_context.shape[1] == 1
+                and S % 16 == 0)
+
+    def _fused_temporal_stage(self, h, time_context, num_frames, emb_flat,
+                              d):
+        from ...ops.temporal_block import temporal_block_fused
+        p = self.variables["params"][f"time_block_{d}"]
+        if self.merge_strategy == "fixed":
+            alpha = jnp.asarray(self.merge_factor, jnp.float32)
+        else:
+            mix = self.variables["params"]["time_mixer"]["mix_factor"]
+            alpha = jax.nn.sigmoid(mix.astype(jnp.float32))[0]
+        b = h.shape[0] // num_frames
+        if time_context.shape[0] == b:
+            ctx = time_context[:, 0]
+        else:
+            ctx = time_context.reshape(
+                b, num_frames, *time_context.shape[1:])[:, 0, 0]
+        a2 = p["attn2"]
+        bias = ctx.astype(jnp.bfloat16) @ a2["to_v"]["kernel"] \
+            .astype(jnp.bfloat16)
+        bias = bias @ a2["to_out"]["kernel"].astype(jnp.bfloat16) \
+            + a2["to_out"]["bias"].astype(jnp.bfloat16)
+        a1 = p["attn1"]
+        wqkv = jnp.concatenate(
+            [a1["to_q"]["kernel"], a1["to_k"]["kernel"],
+             a1["to_v"]["kernel"]], axis=1)
+        return temporal_block_fused(
+            h, emb_flat, alpha, bias,
+            p["norm_in"]["scale"], p["norm_in"]["bias"],
+            p["ff_in"]["proj_in"]["kernel"], p["ff_in"]["proj_in"]["bias"],
+            p["ff_in"]["proj_out"]["kernel"], p["ff_in"]["proj_out"]["bias"],
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            wqkv, a1["to_out"]["kernel"], a1["to_out"]["bias"],
+            p["norm3"]["scale"], p["norm3"]["bias"],
+            p["ff"]["proj_in"]["kernel"], p["ff"]["proj_in"]["bias"],
+            p["ff"]["proj_out"]["kernel"], p["ff"]["proj_out"]["bias"],
+            num_frames=num_frames, heads=self.heads, dim_head=self.dim_head)
 
     @nn.compact
     def __call__(self, x, context=None, num_frames: int = 1):
@@ -395,15 +449,20 @@ class SpatialVideoTransformer(nn.Module):
         frames = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32),
                           BT // num_frames)
         t_emb = timestep_embedding(frames, C, self.max_time_embed_period)
-        emb = MLPEmbed(C, hidden_dim=C * 4, name="time_pos_embed",
-                       dtype=self.dtype)(t_emb)
-        emb = emb[:, None]
+        emb_flat = MLPEmbed(C, hidden_dim=C * 4, name="time_pos_embed",
+                            dtype=self.dtype)(t_emb)
+        emb = emb_flat[:, None]
+        use_fused = self._fused_ok(inner, num_frames, H * W, time_context)
 
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
                 add_lora=self.add_lora,
                 name=f"block_{d}", dtype=self.dtype)(h, context)
+            if use_fused:
+                h = self._fused_temporal_stage(h, time_context, num_frames,
+                                               emb_flat, d)
+                continue
             h_mix = h + emb
             h_mix = VideoTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,

@@ -60,6 +60,9 @@ class UNetConfig:
     # promotion, i.e. f32 with f32 params — used by the numerics tests).
     # Params are stored f32 either way; see layers.py header.
     dtype: Optional[str] = None
+    # fuse the temporal transformer stage into one Pallas kernel at eval
+    # (ops/temporal_block.py; forward-only — leave False for fine-tuning)
+    fused_temporal: bool = False
 
     @staticmethod
     def tiny() -> "UNetConfig":
@@ -120,7 +123,7 @@ class VideoUNet(nn.Module):
                 use_spatial_context=cfg.use_spatial_context,
                 merge_strategy=cfg.merge_strategy,
                 merge_factor=cfg.merge_factor, add_lora=cfg.add_lora,
-                name=name, dtype=dt)
+                fused_temporal=cfg.fused_temporal, name=name, dtype=dt)
 
         def res(out_ch, name):
             return ResCls(

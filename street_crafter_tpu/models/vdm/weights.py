@@ -20,8 +20,13 @@ from .unet import UNetConfig
 from .vae import VAEConfig
 
 
-def engine_from_config(dcfg) -> EngineConfig:
-    """Map the diffusion config node onto EngineConfig."""
+def engine_from_config(dcfg, training: bool = False) -> EngineConfig:
+    """Map the diffusion config node onto EngineConfig.
+
+    ``training=True`` (the fine-tune entry) disables the fused temporal
+    Pallas kernel: it is forward-only and the fine-tune path needs
+    autodiff through the XLA modules.
+    """
     if dcfg.get("tiny", False):
         base = EngineConfig.tiny(num_frames=dcfg.sample_frames,
                                  num_steps=dcfg.num_steps)
@@ -33,7 +38,9 @@ def engine_from_config(dcfg) -> EngineConfig:
     dt = dcfg.get("compute_dtype", "bfloat16") or None
     return EngineConfig(
         unet=UNetConfig(dtype=dt, add_lora=bool(dcfg.get("add_lora", False)),
-                        lora_rank=int(dcfg.get("lora_rank", 16))),
+                        lora_rank=int(dcfg.get("lora_rank", 16)),
+                        fused_temporal=bool(
+                            dcfg.get("fused_temporal", not training))),
         vae=VAEConfig(dtype=dt),
         clip=CLIPVisualConfig(dtype=dt),
         num_frames=dcfg.sample_frames,

@@ -78,7 +78,7 @@ def finetune(cfg: Config) -> None:
 
     dcfg = cfg.diffusion.clone()
     dcfg.sample_frames = v.num_frames
-    engine = VideoDiffusionEngine(engine_from_config(dcfg))
+    engine = VideoDiffusionEngine(engine_from_config(dcfg, training=True))
     params = load_vdm_params(engine, dcfg, init_height=v.height,
                              init_width=v.width)
 
