@@ -25,48 +25,68 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+def _flash_kernel(q_ref, k_ref, vv_ref, o_ref, *lse_refs,
                   scale: float, seq_len_kv: int, block_k: int,
-                  need_mask: bool):
+                  need_mask: bool, fold_scale: bool):
     """Online softmax with the WHOLE (padded) K/V resident in VMEM and the
     kv loop INSIDE the kernel (fori_loop over chunks, running max/denom/acc
     as loop carries). Grid = (bh, nq): K/V are fetched once per batch-head
     and reused across q blocks; the previous (bh, nq, nk) grid spent more
     time in per-step dispatch than in its 0.3 us of MXU work per step
-    (40500 steps at the 9216-token level)."""
+    (40500 steps at the 9216-token level).
+
+    VPU-offload tricks (see scripts/bench_flash_tuning.py):
+    - ``vv`` carries V with a ones column at lane ``d``: the PV matmul
+      computes the softmax denominator for free in the otherwise-idle
+      output lanes (the PV output is only d=64 of 128 lanes wide), killing
+      the per-chunk [BQ, BK] lane-reduction for ``l``;
+    - when the softmax scale is an exact power of two (head_dim 64 ->
+      0.125) it is folded into q up front (exact in bf16: exponent shift),
+      removing a [BQ, BK] multiply per chunk.
+    (A software-pipelined variant carrying chunk j+1's QK^T across the
+    loop was tried and LOST — the [BQ, BK] f32 carry copy costs more than
+    the MXU/VPU overlap buys: 92 -> 101 ms at the level-0 shape.)"""
     q = q_ref[0]                                       # [BQ, D]
+    if fold_scale:
+        q = (q * scale).astype(q.dtype)
     bq, d = q.shape
     skv_p = k_ref.shape[1]
     nk = skv_p // block_k
 
-    def chunk(j, carry):
-        m, l, acc = carry
+    def get_s(j):
         k = k_ref[0, pl.ds(j * block_k, block_k), :]   # [BK, D]
-        v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK] f32
+            preferred_element_type=jnp.float32)        # [BQ, BK] f32
+        if not fold_scale:
+            s = s * scale
         if need_mask:  # static: only when kv was padded
             kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
                 + j * block_k
             s = jnp.where(kidx < seq_len_kv, s, NEG_INF)
+        return s
+
+    def chunk(j, carry):
+        m, acc = carry
+        s = get_s(j)
+        vv = vv_ref[0, pl.ds(j * block_k, block_k), :]  # [BK, 128]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l, acc
+            p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [BQ, 128]
+        return m_new, acc
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk, chunk, (m0, l0, acc0))
+    acc0 = jnp.zeros((bq, vv_ref.shape[2]), jnp.float32)
+    m, acc = jax.lax.fori_loop(0, nk, chunk, (m0, acc0))
 
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse = m + jnp.log(jnp.maximum(l, 1e-30))           # [BQ, 1]
-    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+    l = acc[:, d:d + 1]                                # [BQ, 1]
+    o_ref[0] = (acc[:, :d] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if lse_refs:
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))       # [BQ, 1]
+        lse_refs[0][0] = jnp.broadcast_to(lse, lse_refs[0].shape[1:])
 
 
 def _pad_to(x, n, axis):
@@ -78,12 +98,21 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024):
-    """[BH, S, D] x [BH, Skv, D] -> ([BH, S, D], lse [BH, S])."""
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "need_lse"))
+def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024,
+                   need_lse: bool = True):
+    """[BH, S, D] x [BH, Skv, D] -> ([BH, S, D], lse [BH, S] | None).
+
+    ``need_lse=False`` (the no-grad eval path) skips computing and writing
+    the per-row logsumexp — at the level-0 shape that write alone is
+    bh*S*128 f32 = 1.2 GB of HBM traffic."""
     bh, sq, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
+    # fold the scale into q when it is an exact power of two (always, for
+    # the UNet's head_dim 64): exact in bf16, kills a per-chunk multiply
+    fold_scale = float(scale).hex().startswith("0x1.0000000000000p")
 
     bq = min(block_q, max(8, sq))
     sq_p = -(-sq // bq) * bq
@@ -92,32 +121,42 @@ def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024):
 
     qp = _pad_to(q, sq_p, 1)
     kp = _pad_to(k, skv_p, 1)
-    vp = _pad_to(v, skv_p, 1)
+    # V with a ones column at lane d, padded to the 128-lane register width:
+    # the PV matmul's idle output lanes compute the softmax denominator
+    dv = 128 * -(-(d + 1) // 128)
+    vvp = jnp.concatenate(
+        [_pad_to(v, skv_p, 1),
+         jnp.ones((bh, skv_p, 1), v.dtype)], axis=-1)
+    vvp = _pad_to(vvp, dv, 2)
 
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype)]
+    if need_lse:
+        out_specs.append(pl.BlockSpec((1, bq, 128), lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32))
+
+    res = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, seq_len_kv=skv,
-                          block_k=bk, need_mask=skv_p != skv),
+                          block_k=bk, need_mask=skv_p != skv,
+                          fold_scale=fold_scale),
         grid=(bh, sq_p // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_p, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, skv_p, dv), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32),
-        ],
-    )(qp, kp, vp)
-    return out[:, :sq], lse[:, :sq, 0]
+        out_specs=out_specs if need_lse else out_specs[0],
+        out_shape=out_shape if need_lse else out_shape[0],
+    )(qp, kp, vvp)
+    if need_lse:
+        out, lse = res
+        return out[:, :sq], lse[:, :sq, 0]
+    return res[:, :sq], None
 
 
 def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
@@ -270,7 +309,8 @@ def _flash_backward(q, k, v, o, lse, g, block_q: int = 512,
 
 @jax.custom_vjp
 def _flash(q, k, v):
-    out, _ = _flash_forward(q, k, v)
+    # primal (no-grad eval) path: skip the logsumexp residual entirely
+    out, _ = _flash_forward(q, k, v, need_lse=False)
     return out
 
 
