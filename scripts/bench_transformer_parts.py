@@ -1,6 +1,7 @@
-"""Sub-block timings inside SpatialVideoTransformer at 72x128x320, BT=50.
+"""Sub-block timings inside SpatialVideoTransformer, BT=50.
 
-Finds where the non-attention ~86 ms per transformer goes.
+Finds where the non-attention time per transformer goes.
+Usage: python scripts/bench_transformer_parts.py [level]   (default 0)
 """
 
 import sys
@@ -20,7 +21,11 @@ from street_crafter_tpu.ops.attention import attention_xla
 T = 25
 BT = 50
 DT = "bfloat16"
-H, W, C, heads = 72, 128, 320, 5
+_LEVELS = {0: (72, 128, 320, 5), 1: (36, 64, 640, 10),
+           2: (18, 32, 1280, 20), 3: (9, 16, 1280, 20)}
+_lv = int([a for a in sys.argv[1:] if a.isdigit()][0]) if any(
+    a.isdigit() for a in sys.argv[1:]) else 0
+H, W, C, heads = _LEVELS[_lv]
 S = H * W
 
 
@@ -89,7 +94,7 @@ def main():
         return jnp.mean(attention_xla(q, k, v).astype(jnp.float32))
 
     dt = timeit(tattn, [mk_t(i) for i in range(3)])
-    print(f"{'temporal attention XLA [18432,25,5,64]':44s}: {dt*1e3:7.1f} ms",
+    print(f"{'temporal attention XLA':44s}: {dt*1e3:7.1f} ms",
           flush=True)
 
     # the (b t) s c -> (b s) t c transpose round-trip

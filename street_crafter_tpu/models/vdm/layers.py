@@ -384,10 +384,18 @@ class SpatialVideoTransformer(nn.Module):
     dtype: Any = None
 
     def _fused_ok(self, C, num_frames, S, time_context):
+        return (self._fused_common(num_frames, S, time_context)
+                and C <= 384)                     # full weight VMEM residency
+
+    def _fused_ok_large(self, C, num_frames, S, time_context):
+        # attention-only kernel: qkv+out weights fit VMEM up to C=1280
+        return (self._fused_common(num_frames, S, time_context)
+                and 384 < C <= 1280)
+
+    def _fused_common(self, num_frames, S, time_context):
         return (self.fused_temporal
                 and not self.is_initializing()
                 and not self.add_lora
-                and C <= 384                      # weight VMEM residency
                 and self.dtype is not None
                 and jnp.dtype(self.dtype) == jnp.bfloat16
                 and num_frames > 1
@@ -395,10 +403,10 @@ class SpatialVideoTransformer(nn.Module):
                 and time_context.shape[1] == 1
                 and S % 16 == 0)
 
-    def _fused_temporal_stage(self, h, time_context, num_frames, emb_flat,
-                              d):
-        from ...ops.temporal_block import temporal_block_fused
-        p = self.variables["params"][f"time_block_{d}"]
+    def _alpha_and_bias(self, p, h, time_context, num_frames):
+        """AlphaBlender coefficient + the length-1 cross-attention bias
+        (softmax over one key is exactly 1, so attn2's output is
+        to_out(to_v(ctx)) — independent of x)."""
         if self.merge_strategy == "fixed":
             alpha = jnp.asarray(self.merge_factor, jnp.float32)
         else:
@@ -415,6 +423,46 @@ class SpatialVideoTransformer(nn.Module):
             .astype(jnp.bfloat16)
         bias = bias @ a2["to_out"]["kernel"].astype(jnp.bfloat16) \
             + a2["to_out"]["bias"].astype(jnp.bfloat16)
+        return alpha, bias
+
+    def _fused_temporal_stage_large(self, h, time_context, num_frames,
+                                    emb, d):
+        """C in (384, 1280]: the temporal attention runs in a Pallas
+        kernel straight off the (b t) s c layout (ops/temporal_block.py
+        _attn_kernel) — no transposes — while the per-token ff_in/ff/LN
+        stay XLA (layout-agnostic, well fused; full-stage weights exceed
+        VMEM at these widths)."""
+        from ...ops.temporal_block import temporal_attention_fused
+        p = self.variables["params"][f"time_block_{d}"]
+        alpha, bias = self._alpha_and_bias(p, h, time_context, num_frames)
+        a1 = p["attn1"]
+        wqkv = jnp.concatenate(
+            [a1["to_q"]["kernel"], a1["to_k"]["kernel"],
+             a1["to_v"]["kernel"]], axis=1)
+        dt = self.dtype
+        C = h.shape[-1]
+        x = h + emb
+        x = GEGLUFeedForward(dtype=dt).apply(
+            {"params": p["ff_in"]},
+            nn.LayerNorm(dtype=dt).apply({"params": p["norm_in"]}, x)) + x
+        x = temporal_attention_fused(
+            x, bias, p["norm1"]["scale"], p["norm1"]["bias"],
+            wqkv, a1["to_out"]["kernel"], a1["to_out"]["bias"],
+            num_frames=num_frames, heads=self.heads,
+            dim_head=self.dim_head,
+            rows_per_block=16 if C <= 1024 else 8)
+        x = GEGLUFeedForward(dtype=dt).apply(
+            {"params": p["ff"]},
+            nn.LayerNorm(dtype=dt).apply({"params": p["norm3"]}, x)) + x
+        a = alpha.astype(jnp.float32)
+        return (a * h.astype(jnp.float32)
+                + (1.0 - a) * x.astype(jnp.float32)).astype(h.dtype)
+
+    def _fused_temporal_stage(self, h, time_context, num_frames, emb_flat,
+                              d):
+        from ...ops.temporal_block import temporal_block_fused
+        p = self.variables["params"][f"time_block_{d}"]
+        alpha, bias = self._alpha_and_bias(p, h, time_context, num_frames)
         a1 = p["attn1"]
         wqkv = jnp.concatenate(
             [a1["to_q"]["kernel"], a1["to_k"]["kernel"],
@@ -453,6 +501,8 @@ class SpatialVideoTransformer(nn.Module):
                             dtype=self.dtype)(t_emb)
         emb = emb_flat[:, None]
         use_fused = self._fused_ok(inner, num_frames, H * W, time_context)
+        use_fused_large = self._fused_ok_large(inner, num_frames, H * W,
+                                               time_context)
 
         for d in range(self.depth):
             h = BasicTransformerBlock(
@@ -462,6 +512,10 @@ class SpatialVideoTransformer(nn.Module):
             if use_fused:
                 h = self._fused_temporal_stage(h, time_context, num_frames,
                                                emb_flat, d)
+                continue
+            if use_fused_large:
+                h = self._fused_temporal_stage_large(
+                    h, time_context, num_frames, emb, d)
                 continue
             h_mix = h + emb
             h_mix = VideoTransformerBlock(

@@ -135,6 +135,88 @@ def _kernel(alpha_ref, h_ref, emb_ref, bias_ref,
     o_ref[...] = out.reshape(T, RS, C)
 
 
+def _attn_kernel(h_ref, bias_ref, n1s_ref, n1b_ref, wqkv_ref, wout_ref,
+                 bout_ref, o_ref, *, T: int, RS: int, C: int, heads: int,
+                 dh: int):
+    """Temporal self-attention stage only: x + out(attn_T(LN(x))) + bias,
+    directly in the (b t) s c layout (same strided block-diagonal mask
+    trick as ``_kernel``). Used at the C>=640 levels where the full-stage
+    weight set exceeds VMEM but the attention weights alone fit — the
+    FFs/LNs are per-token ops XLA fuses well in the flat layout, while the
+    XLA temporal attention is overhead-bound (11 ms at level 1 for <1 ms
+    of FLOPs) and forces two [BT, S, C] transposes."""
+    M = T * RS
+    h = h_ref[...].reshape(M, C)
+    xn = _ln(h, n1s_ref[...], n1b_ref[...])
+    qkv = _mm(xn, wqkv_ref[...]).astype(jnp.bfloat16)  # [M, 3C]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    allowed = (ri % RS) == (ci % RS)
+    scale = 1.0 / (dh ** 0.5)
+    outs = []
+    for hd in range(heads):
+        q = qkv[:, hd * dh:(hd + 1) * dh]
+        k = qkv[:, C + hd * dh:C + (hd + 1) * dh]
+        v = qkv[:, 2 * C + hd * dh:2 * C + (hd + 1) * dh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(allowed, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pr = (p / l).astype(jnp.bfloat16)
+        outs.append(jax.lax.dot_general(
+            pr, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    attn = jnp.concatenate(outs, axis=1)               # [M, C]
+    out = _mm(attn, wout_ref[...], bout_ref[...])      # f32
+    res = h.astype(jnp.float32) + out \
+        + bias_ref[0, 0:1, :].astype(jnp.float32)
+    o_ref[...] = res.astype(h.dtype).reshape(T, RS, C)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_frames", "heads", "dim_head",
+                              "rows_per_block", "interpret"))
+def temporal_attention_fused(
+    h: jax.Array,            # [B*T, S, C] bf16, (b t) s c layout
+    bias: jax.Array,         # [B, C] cross-attn bias (len-1 ctx shortcut)
+    norm1_s, norm1_b, wqkv, wout, bout,
+    *, num_frames: int, heads: int, dim_head: int,
+    rows_per_block: int = 16, interpret: bool | None = None,
+) -> jax.Array:
+    BT, S, C = h.shape
+    T = num_frames
+    B = BT // T
+    RS = rows_per_block
+    assert S % RS == 0 and heads * dim_head == C
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    bias8 = jnp.broadcast_to(bias[:, None, :], (B, 8, C)).astype(jnp.bfloat16)
+    kernel = functools.partial(_attn_kernel, T=T, RS=RS, C=C, heads=heads,
+                               dh=dim_head)
+    wspec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda bi, si: (0,) * arr.ndim,
+        memory_space=pltpu.VMEM)
+    weights = [w.astype(jnp.bfloat16)
+               for w in (norm1_s, norm1_b, wqkv, wout, bout)]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S // RS),
+        in_specs=[
+            pl.BlockSpec((T, RS, C), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, C), lambda bi, si: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [wspec(w) for w in weights],
+        out_specs=pl.BlockSpec((T, RS, C), lambda bi, si: (bi, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BT, S, C), jnp.bfloat16),
+        interpret=interpret,
+    )(h.astype(jnp.bfloat16), bias8, *weights)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_frames", "heads", "dim_head",
                               "rows_per_block", "interpret"))

@@ -42,6 +42,31 @@ def test_fused_matches_xla(num_frames):
     assert np.median(np.abs(out - ref)) < 0.02
 
 
+def test_fused_large_matches_xla():
+    """C>384 path: attention-only kernel + XLA FFs in flat layout."""
+    B, T = 1, 3
+    H, W = 4, 8
+    heads, dh = 10, 64          # C = 640 -> _fused_ok_large branch
+    key = jax.random.PRNGKey(1)
+    kx, kc, ki = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (B * T, H, W, heads * dh), jnp.float32)
+    ctx = jax.random.normal(kc, (B * T, 1, 48), jnp.float32)
+
+    def build(fused):
+        return SpatialVideoTransformer(
+            heads=heads, dim_head=dh, depth=1, context_dim=48,
+            fused_temporal=fused, dtype="bfloat16")
+
+    ref_mod = build(False)
+    params = ref_mod.init(ki, x, ctx, T)
+    ref = np.asarray(ref_mod.apply(params, x, ctx, T), np.float32)
+    out = np.asarray(build(True).apply(params, x, ctx, T), np.float32)
+    err = np.abs(out - ref).max()
+    rel = err / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.05, (err, rel)
+    assert np.median(np.abs(out - ref)) < 0.02
+
+
 def test_engine_config_fused_gating():
     """Sampling entries get the fused kernel by default; the fine-tune
     entry must not (forward-only kernel, no VJP)."""
