@@ -80,7 +80,17 @@ def _flash_kernel(q_ref, k_ref, vv_ref, o_ref, *lse_refs,
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     acc0 = jnp.zeros((bq, vv_ref.shape[2]), jnp.float32)
-    m, acc = jax.lax.fori_loop(0, nk, chunk, (m0, acc0))
+    if nk <= 12:
+        # static unroll: no loop-carry copies, and Mosaic overlaps chunk
+        # j+1's QK^T (MXU) with chunk j's softmax (VPU) across iterations
+        # (76.6 -> 68.8 ms at the level-0 shape; an explicit two-stream
+        # even/odd variant measured the same, so the scheduler already
+        # extracts the overlap)
+        m, acc = m0, acc0
+        for j in range(nk):
+            m, acc = chunk(j, (m, acc))
+    else:
+        m, acc = jax.lax.fori_loop(0, nk, chunk, (m0, acc0))
 
     l = acc[:, d:d + 1]                                # [BQ, 1]
     o_ref[0] = (acc[:, :d] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
