@@ -210,7 +210,12 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
         return dk, dv
 
     z = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, nq, chunk, (z, z))
+    if nq <= 20:   # static unroll (same scheduling win as the forward)
+        dk, dv = z, z
+        for iq in range(nq):
+            dk, dv = chunk(iq, (dk, dv))
+    else:
+        dk, dv = jax.lax.fori_loop(0, nq, chunk, (z, z))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -247,8 +252,12 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
             ds_t, k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, nk, chunk,
-                           jnp.zeros((bq, d), jnp.float32))
+    dq = jnp.zeros((bq, d), jnp.float32)
+    if nk <= 20:   # static unroll (same scheduling win as the forward)
+        for j in range(nk):
+            dq = chunk(j, dq)
+    else:
+        dq = jax.lax.fori_loop(0, nk, chunk, dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
