@@ -113,14 +113,18 @@ def time_render(flat, H, W, iters=20, **kw):
         return jnp.sum(out["rgb"].astype(jnp.float32))
 
     # distinct inputs per call; ONE host fetch at the end (axon tunnel:
-    # block_until_ready is unreliable, per-fetch RTT ~100 ms — CLAUDE.md)
+    # block_until_ready is unreliable, per-fetch RTT ~100 ms — CLAUDE.md).
+    # TWO timed loops, report the second: a fresh executable's first
+    # ~dozen executions read 1.5-11x slow over the tunnel (CLAUDE.md).
     w2cs = [jnp.asarray(np.asarray(cam.w2c)).at[0, 3].add(0.002 * i)
             for i in range(4)]
     _ = float(render(flat, w2cs[0]))
-    t0 = time.perf_counter()
-    outs = [render(flat, w2cs[i % 4]) for i in range(iters)]
-    _ = float(outs[-1])
-    return (time.perf_counter() - t0) / iters
+    for _loop in range(2):
+        t0 = time.perf_counter()
+        outs = [render(flat, w2cs[i % 4]) for i in range(iters)]
+        _ = float(outs[-1])
+        dt = (time.perf_counter() - t0) / iters
+    return dt
 
 
 def main():
