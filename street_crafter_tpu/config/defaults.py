@@ -216,6 +216,11 @@ def default_config() -> Config:
             "cond_aug": 0.0,
             "fps_id": 10,
             "motion_bucket_id": 127,
+            # shard sampling over the cfg.mesh axes when >1 device is
+            # visible: frames-axis SP at inference (parallel/sample.py) —
+            # the distillation phase's dominant wall-clock. Requires
+            # sample_frames divisible by the frames axis.
+            "shard_sample": False,
             "masked_guidance_iter": 7000,
             "acc_masked_guidance": False,
             "cond_masked_guidance": True,

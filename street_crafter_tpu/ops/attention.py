@@ -57,9 +57,15 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # short KV (cross-attention against a length-1 CLIP embedding, or
         # the 25-frame temporal axis) is faster in XLA: the flash kernel
         # pads kv to >=128 and its grid dispatch dominates (13.9 ms vs ~1 ms
-        # at [50, 9216, 5, 64] x kv=1, measured on v5e)
+        # at [50, 9216, 5, 64] x kv=1, measured on v5e).
+        # SC_TPU_FORCE_XLA_ATTENTION=1 forces the XLA path — needed under a
+        # sharded jit on a multi-chip mesh (parallel/sample.py): XLA can
+        # partition the einsum attention freely, while an opaque Pallas
+        # call would be all-gathered onto one chip.
+        import os
         use_pallas = (
             jax.default_backend() not in ("cpu",)
+            and not os.environ.get("SC_TPU_FORCE_XLA_ATTENTION")
             and q.shape[1] >= 256 and k.shape[1] >= 256
             and q.shape[-1] in (64, 128))
     if use_pallas:

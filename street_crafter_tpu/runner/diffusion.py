@@ -92,6 +92,18 @@ def _load_rgb(path: str) -> np.ndarray:
     return img[..., :3]
 
 
+def sampling_mesh_from_cfg(cfg):
+    """Mesh for frames-sharded sampling when ``diffusion.shard_sample`` is
+    set and more than one device is visible; None otherwise."""
+    if not getattr(cfg.diffusion, "shard_sample", False):
+        return None
+    import jax as _jax
+    if len(_jax.devices()) <= 1:
+        return None
+    from ..parallel import make_mesh
+    return make_mesh(dict(cfg.mesh.axes))
+
+
 class DiffusionRunner:
     """Bridges the VDM engine to the GS scene.
 
@@ -103,7 +115,8 @@ class DiffusionRunner:
                  height: int = 576, width: int = 1024,
                  window_size: int = 4, num_steps: int | None = None,
                  cfg_scale: float | None = None,
-                 save_dir: str | None = None, seed: int = 23):
+                 save_dir: str | None = None, seed: int = 23,
+                 mesh=None):
         self.scene = scene
         self.engine = engine
         self.params = params
@@ -114,6 +127,22 @@ class DiffusionRunner:
         self.cfg_scale = cfg_scale
         self.save_dir = save_dir
         self.seed = seed
+        # frames-axis-sharded sampling over a device mesh
+        # (parallel/sample.py); None -> single-device engine.sample
+        self.mesh = mesh
+
+    def _sample(self, key, guide_images, cond_image, render_images,
+                sds_scale, cond_indices=(0,)):
+        kw = dict(sds_scale=sds_scale, cfg_scale=self.cfg_scale,
+                  num_steps=self.num_steps, cond_indices=cond_indices)
+        if self.mesh is not None:
+            from ..parallel import sample_on_mesh
+            return sample_on_mesh(
+                self.engine, self.params, key, guide_images, cond_image,
+                mesh=self.mesh, render_images=render_images, **kw)
+        return self.engine.sample(
+            self.params, key, guide_images=guide_images,
+            cond_image=cond_image, render_images=render_images, **kw)
 
     # -- data assembly ---------------------------------------------------------
     def load_guidance(self, cam: CameraInfo) -> np.ndarray:
@@ -185,14 +214,12 @@ class DiffusionRunner:
                 render_seq = np.stack([cond_image[0]]
                                       + renders[start:end])
 
-            out = self.engine.sample(
-                self.params, key,
-                guide_images=jax.numpy.asarray(guide_seq),
-                cond_image=jax.numpy.asarray(cond_image),
-                render_images=None if render_seq is None
+            out = self._sample(
+                key, jax.numpy.asarray(guide_seq),
+                jax.numpy.asarray(cond_image),
+                None if render_seq is None
                 else jax.numpy.asarray(render_seq),
-                sds_scale=scale if render_seq is not None else None,
-                cfg_scale=self.cfg_scale, num_steps=self.num_steps)
+                scale if render_seq is not None else None)
             out = (np.asarray(out) + 1.0) / 2.0
             result[start:end] = out[1:]
             filled[start:end] = True
@@ -240,11 +267,9 @@ class DiffusionRunner:
                 if c.metadata["frame"] in train_frames)
             cond_images = np.stack(
                 [self.load_cond_image(window[i]) for i in cond_indices])
-            out = self.engine.sample(
-                self.params, key,
-                guide_images=jax.numpy.asarray(np.stack(guides[start:end])),
-                cond_image=jax.numpy.asarray(cond_images),
-                cfg_scale=self.cfg_scale, num_steps=self.num_steps,
+            out = self._sample(
+                key, jax.numpy.asarray(np.stack(guides[start:end])),
+                jax.numpy.asarray(cond_images), None, None,
                 cond_indices=cond_indices)
             result[start:end] = (np.asarray(out) + 1.0) / 2.0
             filled[start:end] = True

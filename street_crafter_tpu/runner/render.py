@@ -99,7 +99,8 @@ def render_diffusion(cfg: Config) -> dict[str, str]:
     from ..models.vdm.engine import VideoDiffusionEngine
     from ..models.vdm.weights import engine_from_config, load_vdm_params
     from ..visualizers import save_video
-    from .diffusion import DiffusionRunner, diffusion_camera
+    from .diffusion import (DiffusionRunner, diffusion_camera,
+                            sampling_mesh_from_cfg)
     from .train import make_eval_render
 
     scene = create_scene(cfg)
@@ -111,7 +112,8 @@ def render_diffusion(cfg: Config) -> dict[str, str]:
         scene, engine, params, height=cfg.diffusion.height,
         width=cfg.diffusion.width, window_size=cfg.diffusion.window_size,
         num_steps=cfg.diffusion.num_steps,
-        cfg_scale=cfg.diffusion.cfg_scale, save_dir=out_dir)
+        cfg_scale=cfg.diffusion.cfg_scale, save_dir=out_dir,
+        mesh=sampling_mesh_from_cfg(cfg))
 
     eval_render = make_eval_render(cfg, scene.meta,
                                    cfg.model.gaussian.sh_degree)

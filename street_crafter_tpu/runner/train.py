@@ -320,7 +320,8 @@ def make_diffusion_hook(cfg: Config) -> DiffusionHook:
     with the current 3DGS render as SDS initialization (train.py:123-138)."""
     from ..models.vdm.engine import VideoDiffusionEngine
     from ..models.vdm.weights import engine_from_config, load_vdm_params
-    from .diffusion import DiffusionRunner, diffusion_camera
+    from .diffusion import (DiffusionRunner, diffusion_camera,
+                            sampling_mesh_from_cfg)
 
     engine_cfg = engine_from_config(cfg.diffusion)
     engine = VideoDiffusionEngine(engine_cfg)
@@ -336,7 +337,8 @@ def make_diffusion_hook(cfg: Config) -> DiffusionHook:
             num_steps=cfg.diffusion.num_steps,
             cfg_scale=cfg.diffusion.cfg_scale,
             save_dir=os.path.join(scene.model_path, "diffusion")
-            if cfg.diffusion.save_diffusion_render else None)
+            if cfg.diffusion.save_diffusion_render else None,
+            mesh=sampling_mesh_from_cfg(cfg))
 
         eval_render = make_eval_render(cfg, scene.meta,
                                        trainer.active_sh(iteration))

@@ -41,12 +41,20 @@ def sample_clips(cfg: Config, num_clips: int | None = None) -> list[str]:
     n = min(num_clips or len(ds), len(ds))
     key = jax.random.PRNGKey(23)  # the reference seeds 23 per call
     videos = []
+    from .diffusion import sampling_mesh_from_cfg
+    mesh = sampling_mesh_from_cfg(cfg)
     for i in range(n):
         item = ds[i]
-        out = engine.sample(
-            params, key,
-            guide_images=jnp.asarray(item["guide_seq"]),
-            cond_image=jnp.asarray(item["img_seq"][:1]))
+        if mesh is not None:
+            from ..parallel import sample_on_mesh
+            out = sample_on_mesh(
+                engine, params, key, jnp.asarray(item["guide_seq"]),
+                jnp.asarray(item["img_seq"][:1]), mesh=mesh)
+        else:
+            out = engine.sample(
+                params, key,
+                guide_images=jnp.asarray(item["guide_seq"]),
+                cond_image=jnp.asarray(item["img_seq"][:1]))
         sample = (np.asarray(out) + 1.0) / 2.0
         gt = (item["img_seq"] + 1.0) / 2.0
         guide = (item["guide_seq"] + 1.0) / 2.0
