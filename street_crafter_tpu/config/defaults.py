@@ -183,6 +183,9 @@ def default_config() -> Config:
             "use_ndc_scale": True,
             "use_knn_scale": False,
             "max_intersects_per_tile": 1024,
+            # training raster backend: "auto" (Pallas fused fwd + analytic
+            # bwd on TPU, XLA autodiff on CPU), "fused_train", or "xla"
+            "train_method": "auto",
             "novel_view": {
                 "name": "test",
                 "start_frame": -1, "end_frame": -1,

@@ -86,6 +86,18 @@ def render_flat(
             coarse_factor=coarse_factor, max_per_coarse=max_per_coarse,
             max_per_row=max_per_row, bf16_composite=bf16_composite,
             recall_target=recall_target, with_stats=with_stats)
+    elif method == "fused_train":
+        # differentiable Pallas path: fused forward + analytic backward
+        # kernel (ops/gs_raster_train.py); same absgrad/viewspace contract
+        # as the XLA path, ~1.5x faster fwd+bwd at training shapes
+        from ...ops.gs_raster_train import rasterize_pixels_trainable
+        out = rasterize_pixels_trainable(
+            u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,
+            proj.depths, proj.valid, proj.radii, absgrad_sink=absgrad_sink,
+            width=width, height=height, tile_size=tile_size,
+            coarse_factor=coarse_factor, max_per_coarse=max_per_coarse,
+            max_per_row=max_per_row,
+            recall_target=recall_target, with_stats=with_stats)
     else:
         out = rasterize_pixels(
             u, v, proj.conic_a, proj.conic_b, proj.conic_c, chan, opacities,

@@ -134,7 +134,8 @@ def _compact_kernel(cand_ref, yb_ref, comp_ref, cnt_ref, *,
 
 def _composite_kernel(cnt_ref, comp_ref, out_ref, acc_ref, lt_ref, *,
                       kf: int, A: int, C: int, ts: int, cts: int,
-                      TWc: int, bf16_prefix: bool = False):
+                      TWc: int, bf16_prefix: bool = False,
+                      stop_lt: float = _LOG_STOP_T):
     """Composite one fine-tile row (ts x cts pixels) over its compacted
     candidate list (see module docstring). Candidate columns 0..A-1:
     [l11, l21, c1, l22, c2, lopa, colors...] with c1/c2 pre-shifted to
@@ -229,7 +230,7 @@ def _composite_kernel(cnt_ref, comp_ref, out_ref, acc_ref, lt_ref, *,
 
     def cond(carry):
         b, ltmax = carry
-        return (b < nkf) & (b * _KB < base) & (ltmax > _LOG_STOP_T)
+        return (b < nkf) & (b * _KB < base) & (ltmax > stop_lt)
 
     jax.lax.while_loop(cond, body, (0, jnp.float32(0.0)))
 

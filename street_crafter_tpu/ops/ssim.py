@@ -14,44 +14,50 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window_np(size: int = 11, sigma: float = 1.5):
+def _gaussian_1d_np(size: int = 11, sigma: float = 1.5):
     import numpy as np
     x = np.arange(size) - size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    g = (g / g.sum()).astype(np.float32)
-    return np.outer(g, g)
+    return (g / g.sum()).astype(np.float32)
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5):
-    # cache numpy only: caching device arrays leaks tracers across jit scopes
-    return jnp.asarray(_gaussian_window_np(size, sigma))
+def _filter_sep(img: jax.Array, size: int, sigma: float) -> jax.Array:
+    """Separable gaussian filter on channel-major [C, H, W], SAME zero pad.
 
-
-def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise 2D filter on [H, W, C] with same padding."""
-    C = img.shape[-1]
-    k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, 1))
-    x = img.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
-    out = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"))
-    return out[:, 0].transpose(1, 2, 0)
+    Implemented as shift-adds of statically-sliced zero-padded views — NOT
+    a convolution op: a 1-channel 11x11 conv (the torch formulation) has no
+    channel depth for the MXU, and on TPU its conv-TRANSPOSE backward
+    compiles catastrophically (measured +170 ms on the GS train step when
+    SSIM feeds a Pallas custom-vjp raster). 2*size fused multiply-adds on a
+    full-lane [C, H, W] layout cost ~1 ms fwd+bwd at 640x960."""
+    g = _gaussian_1d_np(size, sigma)
+    C, H, W = img.shape
+    r = size // 2
+    p = jnp.pad(img, ((0, 0), (r, r), (0, 0)))
+    img = sum(float(g[i]) * p[:, i:i + H, :] for i in range(size))
+    p = jnp.pad(img, ((0, 0), (0, 0), (r, r)))
+    return sum(float(g[i]) * p[:, :, i:i + W] for i in range(size))
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
          sigma: float = 1.5, mask: jax.Array | None = None) -> jax.Array:
     """Mean SSIM over an [H, W, C] pair (values in [0, 1]); optional [H, W, 1]
     mask takes the masked mean of the SSIM map (loss_utils.py:95-131)."""
-    w = _gaussian_window(window_size, sigma)
     C1, C2 = 0.01 ** 2, 0.03 ** 2
-    mu1 = _filter2d(img1, w)
-    mu2 = _filter2d(img2, w)
+    # channel-major: elementwise work runs on full [H, W] lanes instead of
+    # the 3/128-lane channel-minor layout
+    a = img1.transpose(2, 0, 1)
+    b = img2.transpose(2, 0, 1)
+    f = lambda x: _filter_sep(x, window_size, sigma)
+    mu1 = f(a)
+    mu2 = f(b)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _filter2d(img1 * img1, w) - mu1_sq
-    s2 = _filter2d(img2 * img2, w) - mu2_sq
-    s12 = _filter2d(img1 * img2, w) - mu12
+    s1 = f(a * a) - mu1_sq
+    s2 = f(b * b) - mu2_sq
+    s12 = f(a * b) - mu12
     ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    ssim_map = ssim_map.transpose(1, 2, 0)
     if mask is not None:
         m = jnp.broadcast_to(mask, ssim_map.shape)
         return (ssim_map * m).sum() / jnp.maximum(m.sum(), 1.0)

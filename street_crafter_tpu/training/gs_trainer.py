@@ -161,6 +161,13 @@ def make_train_step(
         lambda_novel_lpips=cfg.optim.lambda_novel_lpips)
     tile_size = cfg.render.tile_size
     max_per_tile = cfg.render.max_intersects_per_tile
+    # training raster backend: "auto" -> the differentiable Pallas path
+    # (ops/gs_raster_train.py, ~1.5x faster fwd+bwd) on TPU, the XLA
+    # autodiff path on CPU (interpret-mode kernels are slow in tests)
+    train_method = str(cfg.render.get("train_method", "auto"))
+    if train_method == "auto":
+        train_method = ("fused_train"
+                        if jax.default_backend() not in ("cpu",) else "xla")
     sh_degree = (active_sh_degree if active_sh_degree is not None
                  else cfg.model.gaussian.sh_degree)
     flip_prob = cfg.model.gaussian.flip_prob
@@ -194,7 +201,8 @@ def make_train_step(
                 max_per_tile=max_per_tile, flip_mask=flip_mask,
                 viewspace_zero=vz, absgrad_sink=sink,
                 viewspace_zero_sky=vz_sky, absgrad_sink_sky=sink_sky,
-                white_background=bool(cfg.data.white_background))
+                white_background=bool(cfg.data.white_background),
+                method=train_method)
             acc_obj = None
             if with_obj_acc and params.actors is not None:
                 # objects-only pass for the acc-entropy regularizer
@@ -205,7 +213,8 @@ def make_train_step(
                     cam_id=batch["cam_id"], timestamp=batch.get("timestamp"),
                     include_bkgd=False, include_sky=False,
                     sh_degree=sh_degree, tile_size=tile_size,
-                    max_per_tile=max_per_tile, flip_mask=flip_mask)
+                    max_per_tile=max_per_tile, flip_mask=flip_mask,
+                    method=train_method)
                 acc_obj = out_obj["acc"]
             scaling = p.bkgd.get_scaling() if p.bkgd is not None else None
             valid = p.bkgd.valid if p.bkgd is not None else None
