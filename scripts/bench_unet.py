@@ -32,12 +32,17 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="fused temporal-stage Pallas kernel (eval only)")
+    ap.add_argument("--remat-policy", default="nothing",
+                    choices=("nothing", "dots"),
+                    help="jax.checkpoint policy for --grad (dots saves "
+                         "matmul/conv outputs, recomputes elementwise only)")
     ap.add_argument("--grad", action="store_true",
                     help="time a fine-tune style fwd+bwd step (B=1, no CFG "
                          "doubling, remat on unless --no-remat)")
     args = ap.parse_args()
 
     cfg = UNetConfig(remat=not args.no_remat,
+                     remat_policy=args.remat_policy,
                      dtype=None if args.no_policy else "bfloat16",
                      fused_temporal=args.fused)
     model = VideoUNet(cfg)

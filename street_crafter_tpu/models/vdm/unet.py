@@ -56,6 +56,11 @@ class UNetConfig:
     # with use_checkpoint: True, waymo_high_res_mix.yaml:35); jax.checkpoint
     # rematerializes block activations in the backward pass
     remat: bool = True
+    # remat policy: "nothing" = full recompute (jax.checkpoint default);
+    # "dots" = save matmul/conv outputs with no batch dims, recompute only
+    # the elementwise chains (jax.checkpoint_policies
+    # .dots_with_no_batch_dims_saveable) — trades HBM for backward time
+    remat_policy: str = "nothing"
     # compute dtype ("bfloat16" for the TPU runtime paths; None = flax
     # promotion, i.e. f32 with f32 params — used by the numerics tests).
     # Params are stored f32 either way; see layers.py header.
@@ -110,9 +115,12 @@ class VideoUNet(nn.Module):
         emb = emb + MLPEmbed(ted, hidden_dim=ted, name="label_emb",
                              dtype=dt)(y)
 
-        AttnCls = nn.remat(SpatialVideoTransformer, static_argnums=(3,)) \
+        pol = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+               if cfg.remat_policy == "dots" else None)
+        AttnCls = nn.remat(SpatialVideoTransformer, static_argnums=(3,),
+                           policy=pol) \
             if cfg.remat else SpatialVideoTransformer
-        ResCls = nn.remat(VideoResBlock, static_argnums=(3,)) \
+        ResCls = nn.remat(VideoResBlock, static_argnums=(3,), policy=pol) \
             if cfg.remat else VideoResBlock
 
         def attn(ch, depth, name):
