@@ -4,8 +4,12 @@ Runs, in order:
   1. GS train step xla vs fused_train at 640x960/200k (the new
      ops/gs_raster_train.py path) + on-chip gradient agreement spot check.
   2. Temporal fused-block RS sweep at level-0 shape (RS 8/16/32/64).
+  3. Fine-tune remat-policy probe: delegates to
+     `bench_unet.py --grad --remat-policy {nothing,dots}` (run separately;
+     each holds the full 1.5B UNet so they must not share a process).
 
 Usage: python scripts/bench_onchip_queue.py [--gs-only|--rs-only]
+       python scripts/bench_unet.py --grad --remat-policy dots --iters 4
 """
 
 import sys
