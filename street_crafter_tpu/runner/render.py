@@ -140,8 +140,99 @@ def render_diffusion(cfg: Config) -> dict[str, str]:
     return videos
 
 
+def render_virtual_warp(cfg: Config) -> dict[str, str]:
+    """Depth-reprojection warp guidance (novel_view_utils.py:387-490
+    ``virtual_warp``): for each front train camera, render the source view,
+    then for ``steps`` interpolation fractions r in [0, 1] build a virtual
+    pose (lane shift ``shift*r`` + yaw ``rotate*r``), render its depth, and
+    warp the source image into it. Saves ``{i:04d}.png`` (render),
+    ``{i:04d}_condition.png`` (warp) and ``{i:04d}_mask.png`` per step under
+    ``model_path/virtual_warp/{name}/{image_name}/``."""
+    import imageio.v2 as imageio
+
+    from ..datasets import waymo_layout
+    from ..datasets.cameras import Camera
+    from ..ops.warp import process_depth, virtual_warp_images
+
+    scene = create_scene(cfg, need_processor=False)
+    state, it = load_trained_state(cfg, scene)
+    eval_render = make_eval_render(cfg, scene.meta,
+                                   cfg.model.gaussian.sh_degree)
+    nv = cfg.render.novel_view
+    steps = int(nv.steps)
+    shift = nv.shift
+    shift = float(shift[0] if isinstance(shift, (list, tuple)) else shift)
+    yaw = float(nv.rotate)
+    ego_frame_poses = scene.info.metadata["ego_frame_poses"]
+    out_root = os.path.join(scene.model_path, "virtual_warp", str(nv.name))
+
+    start, end = int(nv.start_frame), int(nv.end_frame)
+    outputs: dict[str, str] = {}
+    for info, cam in zip(scene.info.train_cameras, scene.train_cameras):
+        if info.metadata["cam"] != 0:
+            continue  # front camera only, like the lane-shift trajectories
+        frame = info.metadata["frame"]
+        if start >= 0 and frame < start or end >= 0 and frame > end:
+            continue
+        save_dir = os.path.join(out_root, info.image_name)
+        os.makedirs(save_dir, exist_ok=True)
+        batch = scene.batch_for(info)
+        src_out = eval_render(state.params, cam, batch)
+        src_rgb = jnp.asarray(info.load_image())
+        src_depth = process_depth(src_out["depth"], src_out["acc"])
+
+        # step 0 is the source itself (novel_view_utils.py:421-434)
+        imageio.imwrite(os.path.join(save_dir, "0000.png"),
+                        np.asarray(src_rgb * 255, np.uint8))
+        imageio.imwrite(os.path.join(save_dir, "0000_condition.png"),
+                        np.asarray(src_rgb * 255, np.uint8))
+        imageio.imwrite(os.path.join(save_dir, "0000_mask.png"),
+                        np.full((cam.height, cam.width), 255, np.uint8))
+
+        direction = waymo_layout.get_lane_shift_direction(
+            ego_frame_poses, frame)
+        ext = np.asarray(info.metadata["extrinsic"])  # cam -> ego
+        tar_rgbs, tar_depths, tar_c2ws = [], [], []
+        for r in np.linspace(0.0, 1.0, steps)[1:]:
+            ego = np.asarray(info.metadata["ego_pose"]).copy()
+            ego[:3, 3] += direction * shift * r
+            c, s = np.cos(yaw * r), np.sin(yaw * r)
+            rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+            ego[:3, :3] = rot @ ego[:3, :3]
+            tar_c2w = ego @ ext
+            tar_cam = Camera.from_c2w(tar_c2w, np.asarray(cam.K),
+                                      cam.width, cam.height)
+            tar_out = eval_render(state.params, tar_cam, batch)
+            tar_rgbs.append(tar_out["rgb"])
+            tar_depths.append(process_depth(tar_out["depth"],
+                                            tar_out["acc"]))
+            tar_c2ws.append(tar_c2w)
+
+        B = len(tar_c2ws)
+        K = jnp.broadcast_to(cam.K, (B, 3, 3))
+        res = virtual_warp_images(
+            K, jnp.asarray(np.stack(tar_c2ws), jnp.float32),
+            jnp.stack(tar_depths),
+            K, jnp.asarray(np.asarray(info.c2w), jnp.float32)[None]
+            .repeat(B, 0),
+            jnp.broadcast_to(src_depth, (B, *src_depth.shape)),
+            jnp.broadcast_to(src_rgb, (B, *src_rgb.shape)))
+        for i in range(B):
+            rgb = np.clip(np.asarray(tar_rgbs[i]), 0, 1)
+            imageio.imwrite(os.path.join(save_dir, f"{i + 1:04d}.png"),
+                            (rgb * 255).astype(np.uint8))
+            warp = np.clip(np.asarray(res.rgb[i]), 0, 1)
+            imageio.imwrite(
+                os.path.join(save_dir, f"{i + 1:04d}_condition.png"),
+                (warp * 255).astype(np.uint8))
+            imageio.imwrite(os.path.join(save_dir, f"{i + 1:04d}_mask.png"),
+                            np.asarray(res.mask[i], np.uint8) * 255)
+        outputs[info.image_name] = save_dir
+    return outputs
+
+
 MODES = {"trajectory": render_trajectory, "novel_view": render_novel_view,
-         "diffusion": render_diffusion}
+         "diffusion": render_diffusion, "virtual_warp": render_virtual_warp}
 
 
 def main(argv: list[str] | None = None) -> None:

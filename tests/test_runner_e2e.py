@@ -114,3 +114,25 @@ def test_train_and_render(cfg):
     pools = import_gaussians_ply(ply)
     assert "bkgd" in pools and "sky" in pools
     assert int(pools["bkgd"].num_valid()) > 100
+
+
+def test_virtual_warp_mode(cfg):
+    """render.py mode=virtual_warp analog (novel_view_utils.py:387-490):
+    per-step render/condition/mask pngs with step 0 = the source image."""
+    import imageio.v2 as imageio
+
+    from street_crafter_tpu.runner.render import render_virtual_warp
+    c = cfg.clone()
+    c.render.novel_view.steps = 3
+    outputs = render_virtual_warp(c)
+    assert outputs, "no front train cameras warped"
+    d = next(iter(outputs.values()))
+    for i in range(3):
+        for suffix in ("", "_condition", "_mask"):
+            assert os.path.exists(os.path.join(d, f"{i:04d}{suffix}.png"))
+    # step 0 condition is the source image itself, mask all ones
+    mask0 = imageio.imread(os.path.join(d, "0000_mask.png"))
+    assert (mask0 == 255).all()
+    # warped steps have some valid and some invalid pixels
+    mask2 = imageio.imread(os.path.join(d, "0002_mask.png"))
+    assert (mask2 == 255).any()
