@@ -254,11 +254,27 @@ def default_config() -> Config:
             "slow_temporal_layers": True,
             "slow_temporal_layers_scale": 0.0,
             "train_peft_adapters": False,
+            # LR-multiplier schedule (scheduler_config analog,
+            # waymo_high_res_mix.yaml:163-170; "" = constant lr). Types:
+            # lambda_linear | warmup_cosine (models/vdm/lr_schedule.py)
+            "scheduler": {
+                "type": "",
+                "warm_up_steps": [0],
+                "f_start": [1.0e-6],
+                "f_max": [1.0],
+                "f_min": [1.0],
+                "cycle_lengths": [10_000_000_000_000],
+            },
             "height": 576,
             "width": 1024,
             "num_frames": 25,
             "ckpt_every": 1000,
             "log_every": 50,
+            # ImageLogger analog (train.py:318-475): sample + dump
+            # inputs/targets/samples mp4s every N steps (0 = off);
+            # log_images_steps overrides the sampler step count (0 = cfg)
+            "log_images_every": 1000,
+            "log_images_steps": 0,
         },
 
         "profiler": {"enabled": False, "trace_dir": None,

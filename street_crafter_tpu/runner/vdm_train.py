@@ -93,9 +93,12 @@ def finetune(cfg: Config) -> None:
         "slow_spatial_layers", "slow_spatial_layers_scale",
         "slow_temporal_layers", "slow_temporal_layers_scale",
         "train_peft_adapters") if v.get(k) is not None}
+    from ..models.vdm.lr_schedule import schedule_from_config
+    schedule = schedule_from_config(v.get("scheduler"))
     state = shard_vdm_train_state(
         init_vdm_train_state(engine, params, lr=v.lr,
-                             grad_clip=v.grad_clip, param_groups=groups),
+                             grad_clip=v.grad_clip, param_groups=groups,
+                             schedule=schedule),
         rules)
     if cfg.resume:
         restored, it = load_checkpoint(model_path, state)
@@ -106,13 +109,37 @@ def finetune(cfg: Config) -> None:
     step_fn = make_vdm_train_step(
         engine, lr=v.lr, grad_clip=v.grad_clip, ema_decay=v.ema_decay,
         guidance_dropout=v.guidance_dropout, rules=rules,
-        accum_steps=int(v.get("accumulate", 1)), param_groups=groups)
+        accum_steps=int(v.get("accumulate", 1)), param_groups=groups,
+        schedule=schedule)
     encode_fn = make_encode_fn(
         engine, {"vae": params["vae"], "clip": params["clip"]})
 
     from ..utils.metrics import MetricsLogger, ProfilerHook
     metrics = MetricsLogger(os.path.join(model_path, "logs"))
     profiler = ProfilerHook(cfg.profiler, model_path)
+
+    def log_image_samples(step: int, np_batch: dict) -> None:
+        """ImageLogger analog (video_diffusion/train.py:318-475 +
+        log_images, diffusion_condition.py:383-450): dump inputs / VAE
+        targets / current-weights samples of the batch's first clip as
+        mp4 + first-frame TB images under image_log/."""
+        from ..visualizers import save_video
+        full = {"unet": state.unet_params, **state.frozen_params}
+        img = jnp.asarray(np_batch["img_seq"][0])      # [T, H, W, 3] [-1,1]
+        guide = jnp.asarray(np_batch["guide_seq"][0])
+        z = engine.encode_images_chunked(full, img)
+        targets = engine.decode_latents_chunked(full, z)
+        samples = engine.sample(
+            full, jax.random.PRNGKey(step), guide, img[:1],
+            num_steps=int(v.get("log_images_steps", 0)) or None)
+        out_dir = os.path.join(model_path, "image_log", f"step_{step:08d}")
+        os.makedirs(out_dir, exist_ok=True)
+        for name, seq in (("inputs", img), ("targets", targets),
+                          ("samples", samples)):
+            frames = list(np.asarray((seq + 1.0) / 2.0).clip(0, 1))
+            save_video(os.path.join(out_dir, f"{name}.mp4"), frames,
+                       fps=int(cfg.render.fps))
+            metrics.log_image(step, f"image_log/{name}", frames[0])
 
     key = jax.random.PRNGKey(cfg.seed)
     sampler = build_sampler(cfg)
@@ -135,6 +162,8 @@ def finetune(cfg: Config) -> None:
                       f"loss={vals['loss']:.4f} "
                       f"({v.log_every / dt:.2f} it/s)", flush=True)
                 t0 = time.perf_counter()
+            if v.log_images_every and step % v.log_images_every == 0:
+                log_image_samples(step, np_batch)
             if step % v.ckpt_every == 0:
                 save_checkpoint(model_path, step, state)
     profiler.close()

@@ -88,16 +88,23 @@ def param_group_labels(unet_params: Any,
 def make_optimizer(lr: float = 1e-5, grad_clip: float = 0.3,
                    weight_decay: float = 0.0,
                    labels: Any | None = None,
-                   slow_scale: float = 1.0) -> optax.GradientTransformation:
+                   slow_scale: float = 1.0,
+                   schedule: Any | None = None
+                   ) -> optax.GradientTransformation:
     """Global-norm clip (Lightning gradient_clip_val analog: one norm over
     ALL params) then per-group Adam via multi_transform. With
     slow_scale=0 the 'slow' group's moments still update but params are
-    bit-identical (torch lr=0 param-group semantics)."""
+    bit-identical (torch lr=0 param-group semantics). ``schedule`` is an
+    optional step->multiplier callable composed onto every group's lr (the
+    LambdaLR analog, diffusion_condition.py:343-353;
+    models/vdm/lr_schedule.py)."""
     def adam(alr):
+        rate = alr if schedule is None else (
+            lambda step, _a=alr: _a * schedule(step))
         if weight_decay > 0:
-            return optax.adamw(alr, b1=0.9, b2=0.999,
+            return optax.adamw(rate, b1=0.9, b2=0.999,
                                weight_decay=weight_decay)
-        return optax.adam(alr, b1=0.9, b2=0.999)
+        return optax.adam(rate, b1=0.9, b2=0.999)
 
     if labels is None:
         inner = adam(lr)
@@ -111,16 +118,19 @@ def make_optimizer(lr: float = 1e-5, grad_clip: float = 0.3,
 
 
 def optimizer_from_groups(lr: float, grad_clip: float,
-                          groups: dict | None) -> optax.GradientTransformation:
+                          groups: dict | None,
+                          schedule: Any | None = None
+                          ) -> optax.GradientTransformation:
     """Build the fine-tune optimizer from the reference's param-group flags
     (slow_spatial_layers / slow_temporal_layers / train_peft_adapters +
-    scales, waymo_high_res_mix.yaml:12-16)."""
+    scales, waymo_high_res_mix.yaml:12-16) and an optional LR-multiplier
+    schedule (scheduler_config analog, :163-170)."""
     groups = groups or {}
     ss = bool(groups.get("slow_spatial_layers", False))
     st = bool(groups.get("slow_temporal_layers", False))
     pa = bool(groups.get("train_peft_adapters", False))
     if not (ss or st or pa):
-        return make_optimizer(lr, grad_clip)
+        return make_optimizer(lr, grad_clip, schedule=schedule)
     scale = (float(groups.get("slow_spatial_layers_scale", 0.1)) if ss
              else float(groups.get("slow_temporal_layers_scale", 0.0)))
 
@@ -129,14 +139,15 @@ def optimizer_from_groups(lr: float, grad_clip: float,
                                   slow_temporal_layers=st,
                                   train_peft_adapters=pa)
 
-    return make_optimizer(lr, grad_clip, labels=labels, slow_scale=scale)
+    return make_optimizer(lr, grad_clip, labels=labels, slow_scale=scale,
+                          schedule=schedule)
 
 
 def init_vdm_train_state(engine: VideoDiffusionEngine, params: dict,
                          lr: float = 1e-5, grad_clip: float = 0.3,
-                         param_groups: dict | None = None
-                         ) -> VDMTrainState:
-    tx = optimizer_from_groups(lr, grad_clip, param_groups)
+                         param_groups: dict | None = None,
+                         schedule=None) -> VDMTrainState:
+    tx = optimizer_from_groups(lr, grad_clip, param_groups, schedule)
     unet_params = params["unet"]
     return VDMTrainState(
         unet_params=unet_params,
@@ -155,6 +166,7 @@ def make_vdm_train_step(
     rules: ShardingRules | None = None,
     accum_steps: int = 1,
     param_groups: dict | None = None,
+    schedule=None,
 ) -> Callable:
     """Build the jitted fine-tune step.
 
@@ -163,7 +175,7 @@ def make_vdm_train_step(
     input pipeline (frozen VAE), mirroring shared_step
     (diffusion_condition.py:237-247).
     """
-    tx = optimizer_from_groups(lr, grad_clip, param_groups)
+    tx = optimizer_from_groups(lr, grad_clip, param_groups, schedule)
     T = engine.cfg.num_frames
 
     def train_step(state: VDMTrainState, batch: dict, key: jax.Array):

@@ -62,9 +62,15 @@ def test_vdm_finetune_driver(data_root, tmp_path):
         "data_root": data_root, "subsets": ["waymo"], "probs": [1.0],
         "batch_size": 8, "samples_per_epoch": 2, "epochs": 1,
         "height": 16, "width": 32, "num_frames": 4,
-        "ckpt_every": 2, "log_every": 1})
+        "ckpt_every": 2, "log_every": 1,
+        "log_images_every": 2, "log_images_steps": 2})
     from street_crafter_tpu.runner.vdm_train import finetune
     finetune(cfg)
     assert os.path.isdir(os.path.join(cfg.model_path, "checkpoints",
                                       "iteration_2"))
     assert os.path.isdir(os.path.join(cfg.model_path, "ema_params"))
+    # ImageLogger analog dumped inputs/targets/samples videos at step 2
+    log_dir = os.path.join(cfg.model_path, "image_log", "step_00000002")
+    names = os.listdir(log_dir)
+    for stem in ("inputs", "targets", "samples"):
+        assert any(n.startswith(stem) for n in names), (stem, names)
