@@ -59,6 +59,9 @@ def default_config() -> Config:
             "checkpoint_iterations": [30000],
             "start_checkpoint": None,
             "novel_view_prob": 0.4,
+            # cameras per training step (camera-DP over the mesh's data
+            # axis; 1 = the reference's single-camera loop)
+            "batch_size": 1,
             "reg_obj_acc_every": 5,
             "log_interval": 10,
         },

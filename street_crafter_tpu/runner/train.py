@@ -100,14 +100,36 @@ class GSTrainer:
         return min(iteration // 1000, self.max_sh)
 
     def step_fn(self, is_novel: bool, sh: int,
-                with_obj_acc: bool = False) -> Callable:
-        key = (is_novel, sh, with_obj_acc)
+                with_obj_acc: bool = False,
+                batch_size: int = 1) -> Callable:
+        key = (is_novel, sh, with_obj_acc, batch_size)
         if key not in self._steps:
+            mesh = None
+            if batch_size > 1 and len(jax.devices()) > 1:
+                from ..parallel import make_mesh
+                mesh = make_mesh(dict(self.cfg.mesh.axes))
             self._steps[key] = make_train_step(
                 self.cfg, self.scene.meta, spatial_lr_scale=self.scene.extent,
                 lpips_fn=self.lpips_fn, is_novel=is_novel,
-                active_sh_degree=sh, with_obj_acc=with_obj_acc)
+                active_sh_degree=sh, with_obj_acc=with_obj_acc,
+                batch_size=batch_size, mesh=mesh)
         return self._steps[key]
+
+    def fill_camera_batch(self, cam_info, is_novel: bool, novel_pool: list,
+                          B: int) -> list:
+        """Sample B-1 extra same-pool cameras compatible with ``cam_info``
+        for the camera-DP step (uniform resolution + identical supervision
+        keys; duplicates are harmless under gradient averaging)."""
+        pool = (novel_pool if is_novel
+                else self.scene.info.train_cameras)
+        base_keys = set(self.scene.batch_for(cam_info))
+        compat = [c for c in pool
+                  if (c.width, c.height) == (cam_info.width, cam_info.height)
+                  and set(self.scene.batch_for(c)) == base_keys]
+        infos = [cam_info]
+        while len(infos) < B:
+            infos.append(self.rng.choice(compat) if compat else cam_info)
+        return infos
 
     def next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -192,7 +214,25 @@ class GSTrainer:
                 and iteration % cfg.train.reg_obj_acc_every != 0
                 and iteration > o.densify_until_iter
                 and "obj_bound" in batch)
-            step = self.step_fn(is_novel, sh, with_obj_acc)
+            B = int(cfg.train.get("batch_size", 1))
+            if B > 1:
+                # camera-DP step: B same-pool cameras, sharded over the
+                # data mesh axis (beyond the reference's 1-camera loop)
+                from ..training.gs_trainer import stack_cameras_pytree
+                infos = self.fill_camera_batch(cam_info, is_novel,
+                                               novel_pool, B)
+                cams, batches = [], []
+                for inf in infos:
+                    if is_novel:
+                        cams.append(device_cams[("novel", inf.uid,
+                                                 inf.image_name)])
+                    else:
+                        cams.append(device_cams[inf.uid])
+                    batches.append(scene.batch_for(inf))
+                camera = stack_cameras_pytree(cams)
+                batch = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *batches)
+            step = self.step_fn(is_novel, sh, with_obj_acc, batch_size=B)
             self.state, scalars = step(self.state, camera, batch,
                                        self.next_key())
 

@@ -22,8 +22,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..models.gs.densify import (
-    DensifyState, accumulate_stats, densify_and_prune, init_densify_state,
-    reset_opacity,
+    DensifyState, densify_and_prune, init_densify_state, reset_opacity,
 )
 from ..models.gs.losses import LossWeights, compute_train_loss
 from ..models.gs.optim import GaussianAdamState, adam_update, init_adam
@@ -137,6 +136,19 @@ class StepOutput(NamedTuple):
     scalars: dict[str, jax.Array]
 
 
+def stack_cameras_pytree(cams):
+    """One Camera pytree with leading [B] on R/T/K for the camera-DP step
+    (static fields from the first camera; resolutions must match)."""
+    base = cams[0]
+    assert all((c.width, c.height) == (base.width, base.height)
+               for c in cams), "camera-DP needs a uniform-resolution batch"
+    return dataclasses.replace(
+        base,
+        R=jnp.stack([c.R for c in cams]),
+        T=jnp.stack([c.T for c in cams]),
+        K=jnp.stack([c.K for c in cams]))
+
+
 def make_train_step(
     cfg: Config,
     meta: SceneMeta | None,
@@ -145,9 +157,15 @@ def make_train_step(
     is_novel: bool = False,
     active_sh_degree: int | None = None,
     with_obj_acc: bool = False,
+    batch_size: int = 1,
+    mesh=None,
 ) -> Callable:
     """Build the jitted training step. ``batch`` carries camera arrays and
-    supervision images; static render options come from cfg."""
+    supervision images; static render options come from cfg.
+
+    ``batch_size > 1`` returns the camera-DP variant: same signature, but
+    ``camera``/``batch`` leaves carry a leading [B] axis (uniform
+    resolution), sharded over ``mesh``'s data axis when given."""
     weights = LossWeights(
         lambda_l1=cfg.optim.lambda_l1, lambda_dssim=cfg.optim.lambda_dssim,
         lambda_lpips=cfg.optim.lambda_lpips, lambda_sky=cfg.optim.lambda_sky,
@@ -180,9 +198,12 @@ def make_train_step(
             A, cap = 0, 0
         return nb, A, cap
 
-    def train_step(state: GSTrainState, camera, batch: dict[str, Any],
-                   key: jax.Array) -> StepOutput:
-        params = state.params
+    def compute_grads(params: SceneParams, camera, batch: dict[str, Any],
+                      key: jax.Array):
+        """One camera's loss gradients + ready-to-add densification-stat
+        contributions. vmap-safe: all returns are fixed-shape pytrees, so
+        the batched (camera-DP) step maps this over a stacked camera/batch
+        and reduces (mean grads, summed stats)."""
         nb, A, cap_o = sizes(params)
         n_flat = nb + A * cap_o  # sky rendered separately; no viewspace grads
         kf, kd = jax.random.split(key)
@@ -250,6 +271,43 @@ def make_train_step(
         gvz = gvz * grad_scale
         gabs = gabs * grad_scale
 
+        # densification-stat contributions (accumulate_stats summands;
+        # per-camera norms — the norm of a sum is NOT the sum of norms, so
+        # the batched step must sum THESE, not raw gradients)
+        vis = out["visibility"][:n_flat]
+        visf = vis.astype(jnp.float32)
+        stats = {
+            "contrib": jnp.linalg.norm(gvz[:, :2], axis=-1) * visf,
+            "contrib_abs": jnp.linalg.norm(gabs[:, :2], axis=-1) * visf,
+            "visf": visf,
+            "rad": jnp.where(vis, out["radii"][:n_flat], 0.0),
+        }
+        if params.sky is not None and "visibility_sky" in out:
+            vs = out["visibility_sky"]
+            vsf = vs.astype(jnp.float32)
+            gvzs = gvz_sky * grad_scale
+            gabss = gabs_sky * grad_scale
+            stats.update({
+                "contrib_sky": jnp.linalg.norm(gvzs[:, :2], -1) * vsf,
+                "contrib_abs_sky": jnp.linalg.norm(gabss[:, :2], -1) * vsf,
+                "visf_sky": vsf,
+                "rad_sky": jnp.where(vs, out["radii_sky"], 0.0),
+            })
+        return scalars, gparams, stats
+
+    def apply_update(state: GSTrainState, scalars, gparams, stats
+                     ) -> StepOutput:
+        params = state.params
+        nb, A, cap_o = sizes(params)
+        n_flat = nb + A * cap_o
+
+        def add_stats(ds: DensifyState, sl) -> DensifyState:
+            return DensifyState(
+                grad_accum=ds.grad_accum + stats["contrib"][sl],
+                grad_abs_accum=ds.grad_abs_accum + stats["contrib_abs"][sl],
+                denom=ds.denom + stats["visf"][sl],
+                max_radii2d=jnp.maximum(ds.max_radii2d, stats["rad"][sl]))
+
         step = state.step
         lrs = pool_lrs(cfg, step, spatial_lr_scale)
         new_params = params
@@ -265,17 +323,15 @@ def make_train_step(
                 xyz=pd["xyz"], features_dc=pd["f_dc"],
                 features_rest=pd["f_rest"], scaling=pd["scaling"],
                 rotation=pd["rotation"], opacity=pd["opacity"])
-            vis = out["visibility"][:nb]
-            ds2 = accumulate_stats(state.dstate_bkgd, gvz[:nb], vis,
-                                   out["radii"][:nb],
-                                   viewspace_absgrad=gabs[:nb])
+            ds2 = add_stats(state.dstate_bkgd, slice(0, nb))
             new_params = dataclasses.replace(new_params, bkgd=new_bkgd)
             new_state = dataclasses.replace(new_state, adam_bkgd=adam2,
                                             dstate_bkgd=ds2)
 
         # -- actor pools (vmapped) ----------------------------------------
         if params.actors is not None:
-            def upd(pool, gpool, adam, dstate, gv, ga, vis, rad):
+            def upd(pool, gpool, adam, dstate, contrib, contrib_abs, visf,
+                    rad):
                 pd, adam2 = adam_update(pool.trainable_dict(),
                                         gpool.trainable_dict(), adam, lrs,
                                         update_mask=pool.valid)
@@ -283,17 +339,21 @@ def make_train_step(
                     xyz=pd["xyz"], features_dc=pd["f_dc"],
                     features_rest=pd["f_rest"], scaling=pd["scaling"],
                     rotation=pd["rotation"], opacity=pd["opacity"])
-                ds2 = accumulate_stats(dstate, gv, vis, rad,
-                                       viewspace_absgrad=ga)
+                ds2 = DensifyState(
+                    grad_accum=dstate.grad_accum + contrib,
+                    grad_abs_accum=dstate.grad_abs_accum + contrib_abs,
+                    denom=dstate.denom + visf,
+                    max_radii2d=jnp.maximum(dstate.max_radii2d, rad))
                 return new_pool, adam2, ds2
 
-            gv_a = gvz[nb:].reshape(A, cap_o, 2)
-            ga_a = gabs[nb:].reshape(A, cap_o, 2)
-            vis_a = out["visibility"][nb:n_flat].reshape(A, cap_o)
-            rad_a = out["radii"][nb:n_flat].reshape(A, cap_o)
+            sl = slice(nb, n_flat)
             new_actors, adam_a2, ds_a2 = jax.vmap(upd)(
                 params.actors, gparams.actors, state.adam_actors,
-                state.dstate_actors, gv_a, ga_a, vis_a, rad_a)
+                state.dstate_actors,
+                stats["contrib"][sl].reshape(A, cap_o),
+                stats["contrib_abs"][sl].reshape(A, cap_o),
+                stats["visf"][sl].reshape(A, cap_o),
+                stats["rad"][sl].reshape(A, cap_o))
             new_params = dataclasses.replace(new_params, actors=new_actors)
             new_state = dataclasses.replace(new_state, adam_actors=adam_a2,
                                             dstate_actors=ds_a2)
@@ -309,13 +369,17 @@ def make_train_step(
                 rotation=pd["rotation"], opacity=pd["opacity"])
             new_params = dataclasses.replace(new_params, sky=new_sky)
             ds_sky = state.dstate_sky
-            if "visibility_sky" in out:
+            if "contrib_sky" in stats:
                 # sky densification stats from the sky pass
                 # (add_densification_stats_sky, street_gaussian_model
                 # .py:522-532)
-                ds_sky = accumulate_stats(
-                    ds_sky, gvz_sky * grad_scale, out["visibility_sky"],
-                    out["radii_sky"], viewspace_absgrad=gabs_sky * grad_scale)
+                ds_sky = DensifyState(
+                    grad_accum=ds_sky.grad_accum + stats["contrib_sky"],
+                    grad_abs_accum=(ds_sky.grad_abs_accum
+                                    + stats["contrib_abs_sky"]),
+                    denom=ds_sky.denom + stats["visf_sky"],
+                    max_radii2d=jnp.maximum(ds_sky.max_radii2d,
+                                            stats["rad_sky"]))
             new_state = dataclasses.replace(new_state, adam_sky=adam2,
                                             dstate_sky=ds_sky)
 
@@ -333,7 +397,48 @@ def make_train_step(
             new_state, params=new_params, step=step + 1)
         return StepOutput(state=new_state, scalars=scalars)
 
-    return jax.jit(train_step)
+    if batch_size <= 1:
+        def train_step(state: GSTrainState, camera, batch: dict[str, Any],
+                       key: jax.Array) -> StepOutput:
+            scalars, gparams, stats = compute_grads(state.params, camera,
+                                                    batch, key)
+            return apply_update(state, scalars, gparams, stats)
+
+        return jax.jit(train_step)
+
+    # camera-DP training step (beyond the reference's single-GPU loop,
+    # SURVEY §2.3): B cameras render/differentiate in parallel — sharded
+    # over the mesh's data axis when one is given — with mean gradients
+    # (exactly DP) and SUMMED densification-stat contributions (exactly B
+    # sequential reference iterations' worth of stats).
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+
+    def train_step_dp(state: GSTrainState, cameras, batch: dict[str, Any],
+                      key: jax.Array) -> StepOutput:
+        """``cameras``: one Camera pytree with leading [B] on R/T/K;
+        ``batch`` leaves lead with [B]."""
+        if mesh is not None:
+            state = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, rep), state)
+            cameras, batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, shard),
+                (cameras, batch))
+        keys = jax.random.split(key, batch_size)
+        scalars, gparams, stats = jax.vmap(
+            compute_grads, in_axes=(None, 0, 0, 0))(
+            state.params, cameras, batch, keys)
+        scalars = jax.tree_util.tree_map(lambda x: jnp.mean(x, 0), scalars)
+        gparams = jax.tree_util.tree_map(
+            lambda x: jnp.mean(x.astype(jnp.float32), 0)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x[0], gparams)
+        stats = {k: (jnp.max(v, 0) if k.startswith("rad")
+                     else jnp.sum(v, 0)) for k, v in stats.items()}
+        return apply_update(state, scalars, gparams, stats)
+
+    return jax.jit(train_step_dp)
 
 
 def make_densify_step(cfg: Config) -> Callable:

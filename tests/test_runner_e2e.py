@@ -136,3 +136,24 @@ def test_virtual_warp_mode(cfg):
     # warped steps have some valid and some invalid pixels
     mask2 = imageio.imread(os.path.join(d, "0002_mask.png"))
     assert (mask2 == 255).any()
+
+
+def test_train_batched_dp(cfg):
+    """cfg.train.batch_size > 1 drives the camera-DP step through the full
+    runner (stacked cameras/batches, jitted once, loss finite)."""
+    from street_crafter_tpu.runner import create_scene
+    from street_crafter_tpu.runner.train import GSTrainer
+    c = cfg.clone()
+    c.model_path = cfg.model_path + "_dp"
+    c.train.iterations = 8
+    c.train.batch_size = 2
+    c.train.test_iterations = []
+    c.train.checkpoint_iterations = []
+    c.train.log_interval = 1
+    c.resume = False
+    scene = create_scene(c)
+    trainer = GSTrainer(c, scene)
+    seen = {}
+    trainer.run(log_fn=lambda it, s: seen.update({it: s}))
+    assert int(trainer.state.step) == 8
+    assert all(np.isfinite(s["loss"]) for s in seen.values())
