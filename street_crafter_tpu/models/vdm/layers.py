@@ -477,7 +477,8 @@ class SpatialVideoTransformer(nn.Module):
             p["norm3"]["scale"], p["norm3"]["bias"],
             p["ff"]["proj_in"]["kernel"], p["ff"]["proj_in"]["bias"],
             p["ff"]["proj_out"]["kernel"], p["ff"]["proj_out"]["bias"],
-            num_frames=num_frames, heads=self.heads, dim_head=self.dim_head)
+            num_frames=num_frames, heads=self.heads, dim_head=self.dim_head,
+            rows_per_block=8)
 
     @nn.compact
     def __call__(self, x, context=None, num_frames: int = 1):
