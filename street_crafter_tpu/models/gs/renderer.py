@@ -72,7 +72,8 @@ def render_flat(
     # SH colors in world frame: dirs from camera center (renderer :256-262)
     dirs = flat.xyz - cam_center
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-    colors = SH.eval_sh(sh_degree, jnp.swapaxes(flat.shs, -1, -2), dirs)
+    # column-layout SH (eval_sh's [N, 3, 16] einsum wastes 112/128 lanes)
+    colors = SH.eval_sh_columns(sh_degree, flat.shs, dirs)
     colors = jnp.maximum(colors + 0.5, 0.0)
 
     # depth as extra channel (renderer :265-287)

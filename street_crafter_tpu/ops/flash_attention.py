@@ -108,10 +108,29 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
+def _auto_blocks_fwd(sq: int, skv: int) -> tuple[int, int]:
+    """Shape-adaptive forward block sizes (swept on-chip:
+    scripts/bench_flash_shapes.py). The level-0 shape (S=9216) keeps the
+    VMEM-tuned (512, 1024); smaller sequences prefer EXACT tiling — under
+    fixed blocks S=2304 pads kv to 3072 (+33% masked chunks, 22.3 ms) and
+    S=576 pads q to 1024 (+78%, 10.4 ms) vs 15.4 / 8.2 ms exact."""
+    if sq >= 4096 or skv >= 4096:
+        return 512, 1024
+    # q blocks are sublane-aligned (x16); kv chunks lane-aligned (x128).
+    # minimize padded work, tie -> largest block; keep s = [bq, bk] f32
+    # within the swept VMEM budget (<= 1024x1024).
+    bq_cands = [b for b in range(16, min(1024, sq) + 16, 16)]
+    bq = min(bq_cands, key=lambda b: (-(-sq // b) * b - sq, -b))
+    bk_cands = [b for b in range(128, min(1280, skv + 127) + 1, 128)
+                if b * bq <= 1024 * 1024]
+    bk = min(bk_cands, key=lambda b: (-(-skv // b) * b - skv, -b))
+    return bq, bk
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "need_lse"))
-def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024,
-                   need_lse: bool = True):
+def _flash_forward(q, k, v, block_q: int | None = None,
+                   block_k: int | None = None, need_lse: bool = True):
     """[BH, S, D] x [BH, Skv, D] -> ([BH, S, D], lse [BH, S] | None).
 
     ``need_lse=False`` (the no-grad eval path) skips computing and writing
@@ -124,6 +143,9 @@ def _flash_forward(q, k, v, block_q: int = 512, block_k: int = 1024,
     # the UNet's head_dim 64): exact in bf16, kills a per-chunk multiply
     fold_scale = float(scale).hex().startswith("0x1.0000000000000p")
 
+    abq, abk = _auto_blocks_fwd(sq, skv)
+    block_q = abq if block_q is None else block_q
+    block_k = abk if block_k is None else block_k
     bq = min(block_q, max(8, sq))
     sq_p = -(-sq // bq) * bq
     bk = min(block_k, max(128, skv))
@@ -261,16 +283,39 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dl_ref, k_ref, v_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+def _auto_blocks_bwd(sq: int, skv: int) -> tuple[int, int]:
+    """Shape-adaptive backward blocks (swept: bench_flash_shapes.py --bwd).
+    S=9216 keeps the VMEM-tuned (512, 512); S=2304 fwd+bwd 53.5 -> 43.9 ms
+    with (384, 768); S=576 25.9 -> 16.5 ms with (576, 640). Constraint: the
+    q block is a LANE dim of the lse/delta row blocks, so its grid offsets
+    must be 128-aligned — any bq works only when it spans the whole
+    (16-aligned) sequence, otherwise bq must be a multiple of 128."""
+    if sq >= 4096 or skv >= 4096:
+        return 512, 512
+    if sq <= 1024:
+        bq = sq   # single q block: lane offsets stay 0, any size lowers
+    else:
+        cands = range(128, min(384, sq) + 1, 128)
+        bq = min(cands, key=lambda b: (-(-sq // b) * b - sq, -b))
+    bk_cands = range(128, min(768, skv + 127) + 1, 128)
+    bk = min(bk_cands, key=lambda b: (-(-skv // b) * b - skv, -b))
+    return bq, bk
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_backward(q, k, v, o, lse, g, block_q: int = 512,
-                    block_k: int = 512):
-    # block_k 512 (not the forward's 1024): the dkv kernel additionally
-    # holds whole q/do/lse/delta resident, and [1024, 512] f32 s/p/dp
-    # intermediates blow the 16 MB scoped VMEM at 9216 tokens
+def _flash_backward(q, k, v, o, lse, g, block_q: int | None = None,
+                    block_k: int | None = None):
+    # default (512, 512) at the level-0 shape (not the forward's 1024): the
+    # dkv kernel additionally holds whole q/do/lse/delta resident, and
+    # [1024, 512] f32 s/p/dp intermediates blow the 16 MB scoped VMEM at
+    # 9216 tokens
     bh, sq, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / (d ** 0.5)
 
+    abq, abk = _auto_blocks_bwd(sq, skv)
+    block_q = abq if block_q is None else block_q
+    block_k = abk if block_k is None else block_k
     bq = min(block_q, max(8, sq))
     sq_p = -(-sq // bq) * bq
     bk = min(block_k, max(128, skv))

@@ -25,6 +25,12 @@ C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
 
 def sh_basis(deg: int, dirs: jax.Array) -> jax.Array:
     """Real SH basis values at unit directions: [..., 3] -> [..., (deg+1)^2]."""
+    return jnp.stack(_sh_basis_cols(deg, dirs), axis=-1)
+
+
+def _sh_basis_cols(deg: int, dirs: jax.Array) -> list:
+    """Basis values as a list of (deg+1)^2 [...]-shaped columns (the
+    lane-parallel form; ``sh_basis`` stacks them)."""
     if not 0 <= deg <= 4:
         raise ValueError(f"sh degree {deg} unsupported (0..4)")
     one = jnp.ones_like(dirs[..., 0])
@@ -57,7 +63,7 @@ def sh_basis(deg: int, dirs: jax.Array) -> jax.Array:
                         C4[7] * xz * (xx - 3 * yy),
                         C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
                     ]
-    return jnp.stack(out, axis=-1)
+    return out
 
 
 def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
@@ -74,6 +80,32 @@ def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
     k = (deg + 1) ** 2
     basis = sh_basis(deg, dirs)  # [..., k]
     return jnp.einsum("...ck,...k->...c", sh[..., :k], basis)
+
+
+def eval_sh_columns(deg: int, sh_nkc: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Column-layout SH evaluation for the [N]-point render hot path.
+
+    ``eval_sh``'s einsum materializes per-point work on a [N, C, K] array
+    whose trailing dims are 3 and 16 — 112/128 TPU lanes idle (the layout
+    rule of ops/gs_projection.py). Here every basis value and every
+    coefficient slice is a full [N] column, so the contraction is
+    (deg+1)^2 * C lane-parallel FMAs. Identical math to ``eval_sh`` with
+    ``sh = swapaxes(sh_nkc, -1, -2)``.
+
+    Args:
+        sh_nkc: [N, K, C] coefficients (the GaussianPool feature layout).
+        dirs: [N, 3] unit directions.
+    Returns:
+        [N, C]
+    """
+    k = (deg + 1) ** 2
+    basis = _sh_basis_cols(deg, dirs)  # k columns of [N]
+    C = sh_nkc.shape[-1]
+    cols = [
+        sum(basis[j] * sh_nkc[:, j, c] for j in range(k))
+        for c in range(C)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 def rgb_to_sh(rgb: jax.Array) -> jax.Array:

@@ -40,6 +40,20 @@ def test_eval_sh_matches_polynomial(rng):
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_eval_sh_columns_matches_einsum(rng):
+    # the render hot path's lane-parallel formulation (eval_sh_columns on
+    # [N, K, C]) must be bit-close to the einsum form
+    for deg in range(5):
+        shs = rng.normal(size=(64, 25, 3)).astype(np.float32)
+        dirs = rng.normal(size=(64, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        a = np.asarray(SH.eval_sh(
+            deg, jnp.swapaxes(jnp.asarray(shs), -1, -2), jnp.asarray(dirs)))
+        b = np.asarray(SH.eval_sh_columns(deg, jnp.asarray(shs),
+                                          jnp.asarray(dirs)))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_deg0_is_dc_only(rng):
     shc = rng.normal(size=(10, 3, 16)).astype(np.float32)
     dirs = np.tile(np.array([0, 0, 1.0], np.float32), (10, 1))
