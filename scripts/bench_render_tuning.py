@@ -92,15 +92,14 @@ def main():
             return jnp.sum(out["rgb"].astype(jnp.float32))
         return render
 
-    # exact reference via the fused path at max capacity (select exact)
-    from street_crafter_tpu.ops.gs_raster_fused import rasterize_pixels_fused
-
+    # high-capacity reference via the XLA path (the training-fidelity
+    # rasterizer; kc=8192/kf=2048 blows the compact kernel's scoped VMEM)
     @jax.jit
     def ref_img(flat, w2c):
         out = render_flat(flat, w2c, Kj, cam.camera_center, W, H,
-                          sh_degree=3, tile_size=16, method="fused",
+                          sh_degree=3, tile_size=16, method="xla",
                           bf16_composite=False, recall_target=0.95,
-                          max_per_coarse=8192, max_per_row=2048)
+                          max_per_coarse=6144, max_per_tile=1024)
         return out["rgb"]
 
     ref = np.asarray(ref_img(flat, w2cs[0]))

@@ -72,8 +72,11 @@ def render_flat(
     # SH colors in world frame: dirs from camera center (renderer :256-262)
     dirs = flat.xyz - cam_center
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-    # column-layout SH (eval_sh's [N, 3, 16] einsum wastes 112/128 lanes)
-    colors = SH.eval_sh_columns(sh_degree, flat.shs, dirs)
+    # NOTE: a column-layout SH eval (eval_sh_columns) was measured SLOWER
+    # on-chip here (4.20 vs 3.22 ms at 600k): the 48 strided [N] slices of
+    # the [N, 16, 3] coefficients cost more than the einsum's narrow-lane
+    # contraction, which XLA already vectorizes well. Keep the einsum.
+    colors = SH.eval_sh(sh_degree, jnp.swapaxes(flat.shs, -1, -2), dirs)
     colors = jnp.maximum(colors + 0.5, 0.0)
 
     # depth as extra channel (renderer :265-287)

@@ -83,13 +83,14 @@ def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
 
 
 def eval_sh_columns(deg: int, sh_nkc: jax.Array, dirs: jax.Array) -> jax.Array:
-    """Column-layout SH evaluation for the [N]-point render hot path.
+    """Column-layout SH evaluation ([N, K, C] coefficients, no transpose).
 
-    ``eval_sh``'s einsum materializes per-point work on a [N, C, K] array
-    whose trailing dims are 3 and 16 — 112/128 TPU lanes idle (the layout
-    rule of ops/gs_projection.py). Here every basis value and every
-    coefficient slice is a full [N] column, so the contraction is
-    (deg+1)^2 * C lane-parallel FMAs. Identical math to ``eval_sh`` with
+    Measured SLOWER than ``eval_sh`` on v5e at the render hot-path shape
+    (4.20 vs 3.22 ms at N=600k, deg 3): the (deg+1)^2 * C strided [N]
+    coefficient slices cost more than the einsum's narrow-lane contraction,
+    which XLA vectorizes well despite the [N, C, K] layout. Kept as the
+    measured negative result (scripts/bench_render_tuning.py) — do not
+    re-apply to the renderer. Identical math to ``eval_sh`` with
     ``sh = swapaxes(sh_nkc, -1, -2)``.
 
     Args:
