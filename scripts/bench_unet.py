@@ -33,9 +33,13 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="fused temporal-stage Pallas kernel (eval only)")
     ap.add_argument("--remat-policy", default="nothing",
-                    choices=("nothing", "dots"),
+                    choices=("nothing", "dots", "flash", "flash0"),
                     help="jax.checkpoint policy for --grad (dots saves "
-                         "matmul/conv outputs, recomputes elementwise only)")
+                         "matmul/conv outputs, recomputes elementwise only; "
+                         "flash/flash0 save flash-attention outputs)")
+    ap.add_argument("--aot-mem", action="store_true",
+                    help="AOT-compile only and print memory_analysis "
+                         "(peak HBM) instead of running")
     ap.add_argument("--grad", action="store_true",
                     help="time a fine-tune style fwd+bwd step (B=1, no CFG "
                          "doubling, remat on unless --no-remat)")
@@ -114,6 +118,17 @@ def main():
             return jnp.mean(out.astype(jnp.float32))
 
     batches = [inputs(i) for i in range(3)]
+    if args.aot_mem:
+        lowered = fwd.lower(params, *batches[0])
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        gb = 1 / 2**30
+        print(f"policy={args.remat_policy} grad={args.grad}: "
+              f"args {ma.argument_size_in_bytes*gb:.2f} GB, "
+              f"out {ma.output_size_in_bytes*gb:.2f} GB, "
+              f"temp {ma.temp_size_in_bytes*gb:.2f} GB, "
+              f"total {(ma.argument_size_in_bytes + ma.output_size_in_bytes + ma.temp_size_in_bytes)*gb:.2f} GB")
+        return
     print("val:", float(fwd(params, *batches[0])), flush=True)
     print("compiled; timing ...", flush=True)
 

@@ -60,7 +60,14 @@ class UNetConfig:
     # "dots" = save matmul/conv outputs with no batch dims, recompute only
     # the elementwise chains (jax.checkpoint_policies
     # .dots_with_no_batch_dims_saveable) — trades HBM for backward time
-    remat_policy: str = "nothing"
+    # (measured: needs 47.5 GB, OOMs on v5e); "flash" = save ONLY the flash
+    # attention outputs + logsumexp (checkpoint_name'd per width in
+    # ops/flash_attention.py) so the backward skips re-running the O(S^2)
+    # kernel (~1.3 GB extra at B=1x25f full size — OOMs on v5e);
+    # "flash0" = save just the level-0 (longest-sequence) flash sites —
+    # measured on v5e at full size: 2913 ms/step vs 3008 ("nothing") AND
+    # lower peak HBM (13.95 vs 14.37 GB XLA memory_analysis) — default
+    remat_policy: str = "flash0"
     # compute dtype ("bfloat16" for the TPU runtime paths; None = flax
     # promotion, i.e. f32 with f32 params — used by the numerics tests).
     # Params are stored f32 either way; see layers.py header.
@@ -115,8 +122,26 @@ class VideoUNet(nn.Module):
         emb = emb + MLPEmbed(ted, hidden_dim=ted, name="label_emb",
                              dtype=dt)(y)
 
-        pol = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-               if cfg.remat_policy == "dots" else None)
+        # flash sites are named by sequence length (ops/flash_attention.py);
+        # spatial attention at level L runs at S = (H/2^L) * (W/2^L)
+        lvl_s = [(-(-x.shape[1] // (1 << lv))) * (-(-x.shape[2] // (1 << lv)))
+                 for lv in range(3)]
+        if cfg.remat_policy == "dots":
+            pol = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif cfg.remat_policy == "flash":
+            # save every flash site (~1.3 GB at B=1x25f full size — OOMs
+            # next to the 15.75 GB budget; kept for bigger-HBM parts)
+            names = [f"flash_{w}_s{s}" for w in ("out", "lse")
+                     for s in lvl_s]
+            pol = jax.checkpoint_policies.save_only_these_names(*names)
+        elif cfg.remat_policy == "flash0":
+            # save only the level-0 (longest-sequence) flash sites — where
+            # fwd recompute is most expensive (~740 MB / ~230 ms of skipped
+            # recompute at full size)
+            pol = jax.checkpoint_policies.save_only_these_names(
+                f"flash_out_s{lvl_s[0]}", f"flash_lse_s{lvl_s[0]}")
+        else:
+            pol = None
         AttnCls = nn.remat(SpatialVideoTransformer, static_argnums=(3,),
                            policy=pol) \
             if cfg.remat else SpatialVideoTransformer

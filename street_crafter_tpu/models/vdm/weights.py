@@ -39,6 +39,8 @@ def engine_from_config(dcfg, training: bool = False) -> EngineConfig:
     return EngineConfig(
         unet=UNetConfig(dtype=dt, add_lora=bool(dcfg.get("add_lora", False)),
                         lora_rank=int(dcfg.get("lora_rank", 16)),
+                        remat_policy=str(
+                            dcfg.get("remat_policy", "flash0")),
                         fused_temporal=bool(
                             dcfg.get("fused_temporal", not training))),
         vae=VAEConfig(dtype=dt),

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -380,6 +381,15 @@ def _flash(q, k, v):
 
 def _flash_fwd(q, k, v):
     out, lse = _flash_forward(q, k, v)
+    # named per-sequence-length for remat_policy="flash*" (unet.py): under
+    # save_only_these_names("flash_out_s9216", ...) the rematerialized
+    # backward reuses these instead of re-running the O(S^2) kernel.
+    # (Heads are folded into batch here, so seq length — not width — is
+    # what identifies a UNet level; it lets the policy save only the
+    # sites whose recompute is expensive when HBM is tight.)
+    sq = q.shape[-2]
+    out = checkpoint_name(out, f"flash_out_s{sq}")
+    lse = checkpoint_name(lse, f"flash_lse_s{sq}")
     return out, (q, k, v, out, lse)
 
 

@@ -81,3 +81,27 @@ def test_flash_gradients_nonsquare_padding(rng):
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_remat_policy_elides_fwd_recompute():
+    # save_only_these_names on the per-seq-length names (flash_out_s<S>,
+    # flash_lse_s<S>) must drop the backward's flash-forward recompute:
+    # grad-of-checkpoint jaxpr has 3 pallas_calls (fwd, dkv, dq) instead
+    # of 4 (models/vdm/unet.py remat_policy="flash"/"flash0")
+    import jax
+    from street_crafter_tpu.ops.flash_attention import flash_attention
+
+    def f(q, k, v):
+        o = flash_attention(q, k, v)
+        return (o * o).sum()
+
+    q = jnp.ones((2, 256, 2, 64), jnp.float32)
+
+    def count(policy):
+        g = jax.grad(lambda q, k, v: jax.checkpoint(f, policy=policy)(q, k, v))
+        return str(jax.make_jaxpr(g)(q, q, q)).count("pallas_call")
+
+    assert count(None) == 4
+    pol = jax.checkpoint_policies.save_only_these_names(
+        "flash_out_s256", "flash_lse_s256")
+    assert count(pol) == 3
