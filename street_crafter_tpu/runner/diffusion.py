@@ -27,9 +27,12 @@ from ..datasets.readers import CameraInfo
 from ..visualizers.visualizer import save_image
 
 
-def aspect_crop_resize(img: np.ndarray, th: int, tw: int) -> np.ndarray:
-    """Center-width / bottom-height aspect crop then LANCZOS resize
-    (preprocess_image, diffusion_utils.py:78-97). img: [H, W, C] float."""
+def aspect_crop_resize(img: np.ndarray, th: int, tw: int,
+                       crop: str = "bottom") -> np.ndarray:
+    """Center-width aspect crop then LANCZOS resize (preprocess_image,
+    diffusion_utils.py:78-97). img: [H, W, C] float. Height crop keeps the
+    bottom (road) part by default; ``crop="center"`` is the Vista-legacy
+    BaseDataset behavior (vwm/data/subsets/common.py:36-48)."""
     from PIL import Image
     h, w = img.shape[:2]
     if w / h > tw / th:
@@ -38,7 +41,11 @@ def aspect_crop_resize(img: np.ndarray, th: int, tw: int) -> np.ndarray:
         img = img[:, left: left + cw]
     elif w / h < tw / th:
         ch = int(th / tw * w)
-        img = img[h - ch:]  # keep the bottom (road) part
+        if crop == "center":
+            top = (h - ch) // 2
+            img = img[top: top + ch]
+        else:
+            img = img[h - ch:]  # keep the bottom (road) part
     arr = np.asarray(img)
     if arr.ndim == 2:
         arr = arr[..., None]

@@ -74,3 +74,60 @@ def test_vdm_finetune_driver(data_root, tmp_path):
     names = os.listdir(log_dir)
     for stem in ("inputs", "targets", "samples"):
         assert any(n.startswith(stem) for n in names), (stem, names)
+
+
+def test_vista_legacy_subsets(tmp_path):
+    """YouTube + nuScenes anno-file subsets (vwm/data/subsets/{youtube,
+    nuscenes}.py): frame indexing, center crop, action-mod rotation,
+    balance/resample duplication."""
+    import imageio.v2 as imageio
+    from street_crafter_tpu.datasets.vdm_data import (
+        NuScenesClipDataset, YouTubeClipDataset, balance_with_actions,
+        resample_complete_samples)
+
+    root = tmp_path / "vista"
+    (root / "clip0").mkdir(parents=True)
+    T = 3
+    for i in range(T):
+        img = np.full((40, 60, 3), 40 * (i + 1), np.uint8)
+        imageio.imwrite(root / "clip0" / f"{i:04d}.png", img)
+        imageio.imwrite(root / f"nu_{i}.png", img)
+
+    yt_anno = root / "yt.json"
+    yt_anno.write_text(json.dumps(
+        [{"folder_name": "clip0", "first_frame": "0000.png"}]))
+    ds = YouTubeClipDataset(str(root), str(yt_anno), target_height=32,
+                            target_width=64, num_frames=T)
+    item = ds[0]
+    assert item["img_seq"].shape == (T, 32, 64, 3)
+    # frame 0 gray level 40 -> [-1,1]: 2*40/255-1
+    np.testing.assert_allclose(item["img_seq"][0].mean(),
+                               2 * 40 / 255 - 1, atol=1e-2)
+    assert "guide_seq" not in item
+
+    nu_sample = {"frames": [f"nu_{i}.png" for i in range(T)],
+                 "cmd": 0, "traj": [0.0] * 10,
+                 "speed": [1.0] * T, "angle": [78.0] * T,
+                 "z": 1.0, "goal": [800.0, 450.0]}
+    nu_anno = root / "nu.json"
+    nu_anno.write_text(json.dumps([nu_sample]))
+    ds = NuScenesClipDataset(str(root), str(nu_anno), target_height=32,
+                             target_width=64, num_frames=T,
+                             balance_factor=2, resample_factor=2)
+    # 1 sample -> balance x2 (cmd 0 not in exceptions) -> resample x2 = 4
+    assert len(ds) == 4
+    mods = set()
+    for i in range(4):
+        item = ds[i]
+        for k in ("trajectory", "command", "speed", "goal"):
+            if k in item:
+                mods.add(k)
+    assert mods  # at least one action mode attached
+    it0 = ds[0]
+    assert it0["img_seq"].shape == (T, 32, 64, 3)
+
+    # helper semantics match the reference exactly
+    s = [{"cmd": 2}, {"cmd": 0}]
+    assert len(balance_with_actions(s, increase_factor=3)) == 4
+    s2 = [dict(nu_sample), {**nu_sample, "z": -1.0}]
+    assert len(resample_complete_samples(s2, increase_factor=2)) == 3
