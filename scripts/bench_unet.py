@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="fused temporal-stage Pallas kernel (eval only)")
     ap.add_argument("--remat-policy", default="nothing",
-                    choices=("nothing", "dots", "flash", "flash0"),
+                    choices=("nothing", "dots", "flash", "flash0", "flash01", "flashx"),
                     help="jax.checkpoint policy for --grad (dots saves "
                          "matmul/conv outputs, recomputes elementwise only; "
                          "flash/flash0 save flash-attention outputs)")

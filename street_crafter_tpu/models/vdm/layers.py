@@ -15,6 +15,7 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ...ops.attention import multi_head_attention
 
@@ -276,7 +277,12 @@ class CrossAttention(nn.Module):
         v = v.reshape(B, Skv, self.heads, self.dim_head)
         out = multi_head_attention(q, k, v)
         out = out.reshape(B, S, inner)
-        return to_out(out) + lo(out)
+        res = to_out(out) + lo(out)
+        # named for remat policies (unet.py "flashx"): lets the backward
+        # reuse this block output instead of recomputing the attention —
+        # matters for the temporal sites (S = num_frames), whose XLA
+        # attention is not covered by the flash_out_s* kernel names
+        return checkpoint_name(res, f"attn_out_q{S}_c{res.shape[-1]}")
 
 
 class GEGLUFeedForward(nn.Module):

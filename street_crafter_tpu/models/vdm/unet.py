@@ -140,6 +140,16 @@ class VideoUNet(nn.Module):
             # recompute at full size)
             pol = jax.checkpoint_policies.save_only_these_names(
                 f"flash_out_s{lvl_s[0]}", f"flash_lse_s{lvl_s[0]}")
+        elif cfg.remat_policy in ("flash01", "flashx"):
+            # flash01: level-0 + level-1 flash sites (~1.1 GB at full size).
+            # flashx: additionally the level-0 temporal-attention block
+            # outputs (attn_out names in layers.py CrossAttention) —
+            # ~1.8 GB at full size; AOT-probe HBM before trusting on v5e
+            names = [f"flash_{w}_s{s}" for w in ("out", "lse")
+                     for s in lvl_s[:2]]
+            if cfg.remat_policy == "flashx":
+                names.append(f"attn_out_q{num_frames}_c{mc}")
+            pol = jax.checkpoint_policies.save_only_these_names(*names)
         else:
             pol = None
         AttnCls = nn.remat(SpatialVideoTransformer, static_argnums=(3,),
