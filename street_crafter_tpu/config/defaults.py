@@ -243,6 +243,12 @@ def default_config() -> Config:
             "batch_size": 1,         # per-step clips; sharded over data axis
             "accumulate": 1,         # gradient accumulation micro-steps
             "samples_per_epoch": 8000,
+            "num_workers": 4,        # PNG-decode process pool (torch
+            # DataLoader-workers analog); 0 = single prefetch thread
+            "fsdp": False,           # shard params/grads/EMA over the data
+            # axis (FSDP/ZeRO-3 analog; needed to fit the full-size
+            # fine-tune on 16 GB chips — replicated DDP is the reference-
+            # parity default)
             "epochs": 3,
             "lr": 1.0e-5,
             "grad_clip": 0.3,

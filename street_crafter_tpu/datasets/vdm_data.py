@@ -248,14 +248,22 @@ class NuScenesClipDataset(_VistaAnnoDataset):
 
 
 class MultiSourceSampler:
-    """Probability-weighted sampling across subsets with thread prefetch
+    """Probability-weighted sampling across subsets with prefetch
     (MultiSourceSamplerDataset, dataset.py:108-141; 0.9/0.1 Waymo/Pandaset in
-    the reference config)."""
+    the reference config).
+
+    ``num_workers > 0`` decodes batches in a process pool (the analog of
+    the reference's torch DataLoader workers, waymo_high_res_mix.yaml
+    loader config): one 25-frame 576x1024 sample is ~50 PNG decodes
+    (~1-2 s of PIL work) — a single producer thread starves the ~2.9 s
+    fine-tune step at batch > 1. Sampling choices are made in the parent
+    (deterministic given ``seed``); workers only decode, so worker count
+    does not change the sample sequence."""
 
     def __init__(self, datasets: list[ClipDataset],
                  probs: list[float] | None = None,
                  batch_size: int = 1, samples_per_epoch: int = 1000,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2, num_workers: int = 0):
         assert datasets, "no datasets"
         self.datasets = datasets
         if probs is None:
@@ -266,18 +274,43 @@ class MultiSourceSampler:
         self.samples_per_epoch = samples_per_epoch
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
-    def _draw(self) -> dict:
-        d = self.datasets[self.rng.choice(len(self.datasets), p=self.probs)]
-        return d[int(self.rng.integers(len(d)))]
+    def _indices(self) -> list[tuple[int, int]]:
+        out = []
+        for _ in range(self.batch_size):
+            di = int(self.rng.choice(len(self.datasets), p=self.probs))
+            out.append((di, int(self.rng.integers(len(self.datasets[di])))))
+        return out
 
-    def _batch(self) -> dict:
-        items = [self._draw() for _ in range(self.batch_size)]
+    def _fetch(self, idx: list[tuple[int, int]]) -> dict:
+        items = [self.datasets[di][si] for di, si in idx]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
+    def _batch(self) -> dict:
+        return self._fetch(self._indices())
+
     def __iter__(self):
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         n = self.samples_per_epoch
+        if self.num_workers > 0:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")  # datasets are picklable-light but
+            # fork shares the loaded anno lists for free
+            with ctx.Pool(self.num_workers) as pool:
+                pending = []
+                draws = [self._indices() for _ in range(n)]
+                depth = max(self.prefetch, self.num_workers)
+                for idx in draws[:depth]:
+                    pending.append(pool.apply_async(self._fetch, (idx,)))
+                for i in range(n):
+                    batch = pending.pop(0).get()
+                    nxt = i + depth
+                    if nxt < n:
+                        pending.append(
+                            pool.apply_async(self._fetch, (draws[nxt],)))
+                    yield batch
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def producer():
             for _ in range(n):

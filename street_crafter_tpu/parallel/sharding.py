@@ -43,7 +43,13 @@ def with_sharding_constraint(x: Any, mesh: Mesh, *spec: Any) -> Any:
 class ShardingRules:
     """Declarative sharding layout for the VDM fine-tune step.
 
-    - params: replicated over ``data`` (DDP analog);
+    - params: replicated over ``data`` (DDP analog) or, with
+      ``fsdp_params=True``, sharded like the moments (FSDP / ZeRO-3
+      analog — XLA inserts the per-layer all-gathers in the forward and
+      reduce-scatters for the gradients). FSDP is what makes the FULL-SIZE
+      fine-tune fit v5e HBM: replicated needs ~22 GB/device (bf16 params
+      3.06 + grads 3.06 + EMA 3.06 + moments/8 + 11.6 activations),
+      sharded ~14.4 GB;
     - optimizer state: sharded over ``data`` on the largest axis of each leaf
       (ZeRO-2 analog, reference waymo_high_res_mix.yaml:250);
     - batch: clips over ``data``, frames optionally over ``frames``.
@@ -52,6 +58,7 @@ class ShardingRules:
     mesh: Mesh
     data_axis: str = "data"
     frames_axis: str = "frames"
+    fsdp_params: bool = False
 
     def params(self) -> NamedSharding:
         return replicated(self.mesh)
@@ -59,11 +66,10 @@ class ShardingRules:
     def batch(self) -> NamedSharding:
         return shard_batch(self.mesh, self.data_axis)
 
-    def opt_state_spec(self, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
-        """Shard optimizer moments along the largest *divisible* dim,
-        falling back through smaller dims before replicating (a leaf whose
-        largest dim is odd, e.g. CLIP pos-emb [257, 1280], still shards on
-        its second dim)."""
+    def _largest_divisible(self, leaf) -> NamedSharding:
+        """Shard along the largest *divisible* dim, falling back through
+        smaller dims before replicating (a leaf whose largest dim is odd,
+        e.g. CLIP pos-emb [257, 1280], still shards on its second dim)."""
         data = self.mesh.shape.get(self.data_axis, 1)
         if data <= 1 or leaf.ndim == 0:
             return replicated(self.mesh)
@@ -74,3 +80,14 @@ class ShardingRules:
                 spec[best] = self.data_axis
                 return NamedSharding(self.mesh, P(*spec))
         return replicated(self.mesh)
+
+    def param_spec(self, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
+        """Parameter (and EMA/grad) placement: replicated for DDP,
+        largest-divisible-dim sharded for FSDP."""
+        if not self.fsdp_params:
+            return replicated(self.mesh)
+        return self._largest_divisible(leaf)
+
+    def opt_state_spec(self, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
+        """Optimizer moments: always ZeRO-sharded."""
+        return self._largest_divisible(leaf)

@@ -47,7 +47,7 @@ def build_sampler(cfg: Config) -> MultiSourceSampler:
     return MultiSourceSampler(
         datasets, probs=list(v.probs) if v.probs else None,
         batch_size=v.batch_size, samples_per_epoch=v.samples_per_epoch,
-        seed=cfg.seed)
+        seed=cfg.seed, num_workers=int(v.get("num_workers", 0) or 0))
 
 
 def make_encode_fn(engine: VideoDiffusionEngine, params):
@@ -83,9 +83,12 @@ def finetune(cfg: Config) -> None:
                              init_width=v.width)
 
     mesh = make_mesh(dict(cfg.mesh.axes))
-    rules = ShardingRules(mesh)
+    rules = ShardingRules(mesh, fsdp_params=bool(v.get("fsdp", False)))
     if mesh.shape.get("frames", 1) > 1:
         print(f"mesh: {dict(mesh.shape)} (frame-axis sequence sharding on)")
+    if rules.fsdp_params:
+        print("FSDP parameter sharding on (full-size fine-tune fits "
+              "v5e-8: ~14.4 vs ~22 GB/device replicated)")
     # param-group recipe (slow/frozen temporal layers etc.,
     # diffusion_condition.py:298-355; the StreetCrafter conditioned
     # fine-tune freezes temporal layers: waymo_high_res_mix.yaml:12-16)

@@ -282,19 +282,30 @@ def make_vdm_train_step(
         else:
             (loss, scalars), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.unet_params)
+        if rules is not None and rules.fsdp_params:
+            # reduce-scatter the gradients straight into the FSDP layout —
+            # without this the full grad tree materializes replicated
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.with_sharding_constraint(
+                    g, rules.param_spec(
+                        jax.ShapeDtypeStruct(g.shape, g.dtype))),
+                grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.unet_params)
         new_params = optax.apply_updates(state.unet_params, updates)
         new_ema = jax.tree_util.tree_map(
             lambda e, p: ema_decay * e + (1 - ema_decay) * p,
             state.ema_params, new_params)
         if rules is not None:
-            # keep params/EMA replicated (DDP layout); the compiler would
-            # otherwise be free to leave them sharded like the moments
-            rep = NamedSharding(rules.mesh, P())
-            new_params = jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(x, rep), new_params)
-            new_ema = jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(x, rep), new_ema)
+            # pin params/EMA to the configured layout: replicated (DDP) or
+            # largest-dim sharded (FSDP); the compiler would otherwise be
+            # free to leave them sharded like the moments (or vice versa)
+            def pin(x):
+                sh = rules.param_spec(
+                    jax.ShapeDtypeStruct(x.shape, x.dtype))
+                return jax.lax.with_sharding_constraint(x, sh)
+
+            new_params = jax.tree_util.tree_map(pin, new_params)
+            new_ema = jax.tree_util.tree_map(pin, new_ema)
         new_state = VDMTrainState(
             unet_params=new_params, frozen_params=state.frozen_params,
             opt_state=new_opt, ema_params=new_ema, step=state.step + 1)
@@ -307,11 +318,15 @@ def make_vdm_train_step(
 
 def shard_vdm_train_state(state: VDMTrainState,
                           rules: ShardingRules) -> VDMTrainState:
-    """Place params replicated and optimizer moments ZeRO-style sharded."""
+    """Place params per ``rules.param_spec`` (replicated for DDP, largest-
+    dim sharded for FSDP) and optimizer moments ZeRO-style sharded."""
     rep = rules.params()
 
-    def put_rep(t):
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+    def put_param(t):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, rules.param_spec(jax.ShapeDtypeStruct(x.shape, x.dtype))),
+            t)
 
     def put_opt(t):
         return jax.tree_util.tree_map(
@@ -320,10 +335,10 @@ def shard_vdm_train_state(state: VDMTrainState,
             t)
 
     return VDMTrainState(
-        unet_params=put_rep(state.unet_params),
-        frozen_params=put_rep(state.frozen_params),
+        unet_params=put_param(state.unet_params),
+        frozen_params=put_param(state.frozen_params),
         opt_state=put_opt(state.opt_state),
-        ema_params=put_rep(state.ema_params),
+        ema_params=put_param(state.ema_params),
         step=jax.device_put(state.step, rep))
 
 

@@ -50,6 +50,15 @@ def test_prepare_meta_and_dataset(data_root):
     batches = list(sampler)
     assert len(batches) == 3
     assert batches[0]["img_seq"].shape == (2, 4, 24, 48, 3)
+    # process-pool decode (num_workers, the DataLoader-workers analog)
+    # yields the SAME batch sequence: sampling stays in the parent rng
+    workers = MultiSourceSampler([ds], batch_size=2, samples_per_epoch=3,
+                                 num_workers=2)
+    wbatches = list(workers)
+    assert len(wbatches) == 3
+    for a, b in zip(batches, wbatches):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
 
 
 def test_vdm_finetune_driver(data_root, tmp_path):

@@ -90,3 +90,36 @@ def test_frames_axis_sharding_matches_data_only():
     for a, b in zip(jax.tree_util.tree_leaves(p_seq),
                     jax.tree_util.tree_leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fsdp_matches_ddp():
+    """FSDP parameter sharding (ShardingRules.fsdp_params) computes the same
+    loss and parameter update as replicated DDP — XLA's all-gathers /
+    reduce-scatters change layout, not math."""
+    cfg = EngineConfig.tiny(num_frames=2)
+    eng = VideoDiffusionEngine(cfg)
+    params = eng.init_params(jax.random.PRNGKey(0), 32, 32)
+    batch = make_batch(eng, params, jax.random.PRNGKey(1), 8, 2, 32, 32)
+
+    def run(fsdp):
+        mesh = make_virtual_cpu_mesh(8, {"data": 8})
+        rules = ShardingRules(mesh, fsdp_params=fsdp)
+        state = shard_vdm_train_state(
+            init_vdm_train_state(eng, params, lr=1e-4), rules)
+        b = shard_batch_for_mesh(batch, rules, 2)
+        step = make_vdm_train_step(eng, lr=1e-4, rules=rules,
+                                   guidance_dropout=0.0)
+        state2, scalars = step(state, b, jax.random.PRNGKey(2))
+        return float(scalars["loss"]), state2
+
+    loss_f, st_f = run(True)
+    loss_d, st_d = run(False)
+    np.testing.assert_allclose(loss_f, loss_d, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_f.unet_params),
+                    jax.tree_util.tree_leaves(st_d.unet_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # a large 2D leaf is actually sharded under FSDP (not silently replicated)
+    big = max(jax.tree_util.tree_leaves(st_f.unet_params),
+              key=lambda x: x.size)
+    assert not big.sharding.is_fully_replicated
+    assert not jax.tree_util.tree_leaves(st_f.ema_params)[0] is None
