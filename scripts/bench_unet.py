@@ -37,6 +37,8 @@ def main():
                     help="jax.checkpoint policy for --grad (dots saves "
                          "matmul/conv outputs, recomputes elementwise only; "
                          "flash/flash0 save flash-attention outputs)")
+    ap.add_argument("--quant", action="store_true",
+                    help="W8A8 int8 ResBlock/Down/Up convs (eval only)")
     ap.add_argument("--aot-mem", action="store_true",
                     help="AOT-compile only and print memory_analysis "
                          "(peak HBM) instead of running")
@@ -48,7 +50,8 @@ def main():
     cfg = UNetConfig(remat=not args.no_remat,
                      remat_policy=args.remat_policy,
                      dtype=None if args.no_policy else "bfloat16",
-                     fused_temporal=args.fused)
+                     fused_temporal=args.fused,
+                     quant_convs=args.quant)
     model = VideoUNet(cfg)
     T = args.frames
     B = 1 if args.grad else 2  # CFG doubling at eval; fine-tune is bs=1/chip

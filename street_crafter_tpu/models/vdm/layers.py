@@ -71,6 +71,58 @@ class AlphaBlender(nn.Module):
         return a * x_spatial + (1.0 - a) * x_temporal
 
 
+class Int8Conv(nn.Module):
+    """Drop-in W8A8 convolution for the EVAL path (same param tree as
+    nn.Conv: "kernel" [*ks, in, out] + "bias" [out], so converted
+    checkpoints load unchanged).
+
+    Dynamic symmetric quantization: per-output-channel weight scales,
+    per-tensor activation scale from the live max — no calibration pass.
+    The int8 conv hits the v5e MXU's int8 path, measured 1.69x the bf16
+    conv rate (179.6 vs 106.6 TOPS at the UNet level-0 shape — ABOVE the
+    ~110 TF/s bf16 ceiling, unlike int8 matmul which XLA runs at bf16
+    rate). Accumulation in int32, dequant + bias in f32.
+
+    Eval-only: round() has zero gradient — never enable for fine-tuning.
+    """
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] | None = None
+    padding: Any = "SAME"
+    kernel_init: Any = nn.initializers.lecun_normal()
+    out_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        ks = tuple(self.kernel_size)
+        nd = len(ks)
+        kernel = self.param("kernel", self.kernel_init,
+                            ks + (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k32 = kernel.astype(jnp.float32)
+        wamax = jnp.max(jnp.abs(k32), axis=tuple(range(nd + 1)))  # [out]
+        wscale = jnp.maximum(wamax, 1e-12) / 127.0
+        wq = jnp.clip(jnp.round(k32 / wscale), -127, 127).astype(jnp.int8)
+        x32 = x.astype(jnp.float32)
+        xscale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x32 / xscale), -127, 127).astype(jnp.int8)
+        lead = x.shape[:-(nd + 1)]
+        xq = xq.reshape((-1,) + x.shape[-(nd + 1):])
+        pad = self.padding
+        if isinstance(pad, str):
+            pad = pad
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, wq.shape,
+            ("N" + "DHW"[3 - nd:] + "C", "DHW"[3 - nd:] + "IO",
+             "N" + "DHW"[3 - nd:] + "C"))
+        o = jax.lax.conv_general_dilated(
+            xq, wq, self.strides or (1,) * nd, pad,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        o = o.astype(jnp.float32) * (wscale * xscale) + bias.astype(jnp.float32)
+        o = o.reshape(lead + o.shape[1:])
+        return o.astype(self.out_dtype)
+
+
 def _norm(name="norm", dtype=None):
     """openaimodel GroupNorm32: torch nn.GroupNorm default eps=1e-5."""
     return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name, dtype=dtype)
@@ -94,6 +146,7 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Any = None
+    quant_convs: bool = False  # W8A8 int8 for the 2D 3x3 convs (eval only)
 
     @nn.compact
     def __call__(self, x, emb):
@@ -103,8 +156,15 @@ class ResBlock(nn.Module):
             ks = (self.kernel_size,) * self.dims
         else:
             ks = tuple(self.kernel_size)
-        conv = lambda c, name: nn.Conv(c, ks, padding="SAME", name=name,
-                                       dtype=self.dtype)
+        # int8 only for the heavy 2D 3x3 convs; the (3,1,1) temporal stack
+        # and 1x1 skip are matmul-shaped (no int8 MXU win, see Int8Conv)
+        if self.quant_convs and self.dims == 2 and max(ks) > 1:
+            conv = lambda c, name: Int8Conv(
+                c, ks, name=name,
+                out_dtype=self.dtype or jnp.float32)
+        else:
+            conv = lambda c, name: nn.Conv(c, ks, padding="SAME", name=name,
+                                           dtype=self.dtype)
 
         h = nn.silu(_norm("in_norm", self.dtype)(x))
         if self.up:
@@ -130,8 +190,13 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = _norm("out_norm", self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, ks, padding="SAME", name="out_conv",
-                    kernel_init=nn.initializers.zeros, dtype=self.dtype)(h)
+        if self.quant_convs and self.dims == 2 and max(ks) > 1:
+            h = Int8Conv(out_ch, ks, name="out_conv",
+                         kernel_init=nn.initializers.zeros,
+                         out_dtype=self.dtype or jnp.float32)(h)
+        else:
+            h = nn.Conv(out_ch, ks, padding="SAME", name="out_conv",
+                        kernel_init=nn.initializers.zeros, dtype=self.dtype)(h)
 
         if out_ch == ch_in:
             skip = x
@@ -158,10 +223,15 @@ class Downsample(nn.Module):
     """Strided conv downsample (openaimodel.py Downsample, conv path)."""
     out_channels: Optional[int] = None
     dtype: Any = None
+    quant_convs: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
+        if self.quant_convs:
+            return Int8Conv(out_ch, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), name="conv",
+                            out_dtype=self.dtype or jnp.float32)(x)
         return nn.Conv(out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                        name="conv", dtype=self.dtype)(x)
 
@@ -170,11 +240,15 @@ class Upsample(nn.Module):
     """Nearest 2x + conv (openaimodel.py Upsample)."""
     out_channels: Optional[int] = None
     dtype: Any = None
+    quant_convs: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
         x = upsample_nearest(x)
+        if self.quant_convs:
+            return Int8Conv(out_ch, (3, 3), name="conv",
+                            out_dtype=self.dtype or jnp.float32)(x)
         return nn.Conv(out_ch, (3, 3), padding="SAME", name="conv",
                        dtype=self.dtype)(x)
 
@@ -189,12 +263,13 @@ class VideoResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Any = None
+    quant_convs: bool = False
 
     @nn.compact
     def __call__(self, x, emb, num_frames: int):
         x = ResBlock(out_channels=self.out_channels, dims=2,
                      up=self.up, down=self.down, name="spatial",
-                     dtype=self.dtype)(x, emb)
+                     dtype=self.dtype, quant_convs=self.quant_convs)(x, emb)
         bt, H, W, C = x.shape
         b = bt // num_frames
         x_5d = x.reshape(b, num_frames, H, W, C)

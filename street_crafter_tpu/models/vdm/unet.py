@@ -75,6 +75,12 @@ class UNetConfig:
     # fuse the temporal transformer stage into one Pallas kernel at eval
     # (ops/temporal_block.py; forward-only — leave False for fine-tuning)
     fused_temporal: bool = False
+    # W8A8 int8 for the 2D 3x3 ResBlock/Down/Upsample convs (layers.py
+    # Int8Conv): dynamic symmetric quantization hitting the v5e int8 MXU
+    # path (1.69x the bf16 conv rate). EVAL ONLY (round() kills grads);
+    # experimental — off by default, quality unvalidated against real
+    # weights in this environment
+    quant_convs: bool = False
 
     @staticmethod
     def tiny() -> "UNetConfig":
@@ -173,7 +179,8 @@ class VideoUNet(nn.Module):
                 out_channels=out_ch,
                 video_kernel_size=tuple(cfg.video_kernel_size),
                 merge_strategy=cfg.merge_strategy,
-                merge_factor=cfg.merge_factor, name=name, dtype=dt)
+                merge_factor=cfg.merge_factor, name=name, dtype=dt,
+                quant_convs=cfg.quant_convs)
 
         # ---- input blocks ------------------------------------------------
         hs = []
@@ -208,7 +215,8 @@ class VideoUNet(nn.Module):
                 block_chans.append(ch)
             if level != len(cfg.channel_mult) - 1:
                 ds *= 2
-                h = Downsample(ch, name=f"down_{level}", dtype=dt)(h)
+                h = Downsample(ch, name=f"down_{level}", dtype=dt,
+                               quant_convs=cfg.quant_convs)(h)
                 hs.append(h)
                 block_chans.append(ch)
 
@@ -230,7 +238,8 @@ class VideoUNet(nn.Module):
                              f"out_{level}_{i}_attn")(h, context, num_frames)
                 if level and i == cfg.num_res_blocks:
                     ds //= 2
-                    h = Upsample(ch, name=f"up_{level}", dtype=dt)(h)
+                    h = Upsample(ch, name=f"up_{level}", dtype=dt,
+                                 quant_convs=cfg.quant_convs)(h)
 
         h = nn.silu(_norm("out_norm", dt)(h))
         return nn.Conv(cfg.out_channels, (3, 3), padding="SAME", dtype=dt,

@@ -29,9 +29,12 @@ def _write_png(path, arr):
 
 
 def make_scene(root: str, num_frames: int = 4, seed: int = 0,
-               scene_name: str = "016") -> str:
-    """Create a synthetic scene under root/scene_name; returns its path."""
+               scene_name: str = "016",
+               img_hw: tuple = (IMG_H, IMG_W)) -> str:
+    """Create a synthetic scene under root/scene_name; returns its path.
+    ``img_hw`` scales the camera resolution (intrinsics follow)."""
     rng = np.random.default_rng(seed)
+    IMG_H_, IMG_W_ = img_hw
     d = os.path.join(root, scene_name)
     os.makedirs(d, exist_ok=True)
 
@@ -44,8 +47,8 @@ def make_scene(root: str, num_frames: int = 4, seed: int = 0,
         [0.0, 0.0, 0.0, 1.0]])
     os.makedirs(os.path.join(d, "intrinsics"), exist_ok=True)
     os.makedirs(os.path.join(d, "extrinsics"), exist_ok=True)
-    fx = fy = 40.0
-    cx, cy = IMG_W / 2, IMG_H / 2
+    fx = fy = 40.0 * (IMG_W_ / IMG_W)
+    cx, cy = IMG_W_ / 2, IMG_H_ / 2
     for c in range(NUM_CAMS):
         vals = np.zeros(9)
         vals[:4] = [fx, fy, cx, cy]
@@ -142,17 +145,17 @@ def make_scene(root: str, num_frames: int = 4, seed: int = 0,
     # images + masks + depth
     for f in range(num_frames):
         for c in range(NUM_CAMS):
-            img = rng.integers(0, 255, (IMG_H, IMG_W, 3), dtype=np.uint8)
+            img = rng.integers(0, 255, (IMG_H_, IMG_W_, 3), dtype=np.uint8)
             _write_png(os.path.join(d, "images", f"{f:06d}_{c}.png"), img)
-            sky = np.zeros((IMG_H, IMG_W), np.uint8)
-            sky[: IMG_H // 4] = 255
+            sky = np.zeros((IMG_H_, IMG_W_), np.uint8)
+            sky[: IMG_H_ // 4] = 255
             _write_png(os.path.join(d, "sky_mask", f"{f:06d}_{c}.png"), sky)
-            dyn = np.zeros((IMG_H, IMG_W), np.uint8)
-            dyn[IMG_H // 2:, IMG_W // 3: 2 * IMG_W // 3] = 255
+            dyn = np.zeros((IMG_H_, IMG_W_), np.uint8)
+            dyn[IMG_H_ // 2:, IMG_W_ // 3: 2 * IMG_W_ // 3] = 255
             _write_png(os.path.join(d, "dynamic_mask", f"{f:06d}_{c}.png"),
                        dyn)
-            mask = np.zeros((IMG_H, IMG_W), bool)
-            mask[IMG_H // 2:, :] = True
+            mask = np.zeros((IMG_H_, IMG_W_), bool)
+            mask[IMG_H_ // 2:, :] = True
             value = rng.uniform(2.0, 50.0, mask.sum()).astype(np.float32)
             np.savez_compressed(
                 _ensure(os.path.join(d, "lidar", "depth", f"{f:06d}_{c}.npz")),

@@ -1,3 +1,4 @@
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -217,3 +218,36 @@ def test_lora_adapters_noop_at_init_and_peft_group():
     assert is_peft_param(("unet", "block", "attn1", "q_adapter_down",
                           "kernel"))
     assert not is_peft_param(("unet", "block", "attn1", "to_q", "kernel"))
+
+
+def test_quant_convs_close_to_f32():
+    """W8A8 int8 convs (UNetConfig.quant_convs, layers.Int8Conv): same param
+    tree as the f32 model (converted checkpoints load unchanged) and output
+    within ~2% relative error on properly initialized weights."""
+    cfg = UNetConfig.tiny()
+    cfg_q = dataclasses.replace(cfg, quant_convs=True)
+    model = VideoUNet(cfg)
+    model_q = VideoUNet(cfg_q)
+    T, H, W = 2, 16, 16
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (T, H, W, cfg.in_channels))
+    t = jnp.full((T,), 0.25)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (T, 1, cfg.context_dim))
+    y = jax.random.normal(jax.random.PRNGKey(2), (T, cfg.adm_in_channels))
+    params = model.init(jax.random.PRNGKey(3), x, t, ctx, y, num_frames=T)
+    # the UNet's final conv is zero-init (output would be all zeros);
+    # perturb every leaf so the comparison sees real activations
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(4), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+    # identical param trees -> checkpoints interchange
+    s1 = jax.tree_util.tree_structure(params)
+    s2 = jax.tree_util.tree_structure(
+        model_q.init(jax.random.PRNGKey(3), x, t, ctx, y, num_frames=T))
+    assert s1 == s2
+    out = model.apply(params, x, t, ctx, y, num_frames=T)
+    out_q = model_q.apply(params, x, t, ctx, y, num_frames=T)
+    rel = float(jnp.linalg.norm(out - out_q) / jnp.linalg.norm(out))
+    assert rel < 0.02, rel
