@@ -86,8 +86,20 @@ def main():
 
     @jax.jit
     def materialize():
-        return jax.tree.map(
-            lambda sd: jnp.full(sd.shape, 0.01, pdt), shapes)
+        # non-constant fill: an all-constant fill (old: 0.01 everywhere)
+        # makes every conv output channel identical -> degenerate
+        # normalizations -> NaN output regardless of quantization (verified
+        # on CPU at tiny shape, quant on AND off). A cheap deterministic
+        # per-element cos fill keeps init memory at the target dtype while
+        # giving channels distinct weights, so `val` is a usable smoke
+        # check. Timing is fill-invariant.
+        def fill(sd):
+            n = 1
+            for s in sd.shape:
+                n *= s
+            i = jnp.arange(n, dtype=jnp.float32)
+            return (0.02 * jnp.cos(i * 0.7)).reshape(sd.shape).astype(pdt)
+        return jax.tree.map(fill, shapes)
 
     params = materialize()
     n_params = sum(p.size for p in jax.tree.leaves(params))
