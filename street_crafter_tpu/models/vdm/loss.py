@@ -40,16 +40,20 @@ def sample_cond_mask(key: jax.Array, batch_size: int, num_frames: int,
     return table[idx].reshape(batch_size * num_frames)
 
 
-def fourier_filter(x: jax.Array, scale: float = 0.0, d: int = 4) -> jax.Array:
-    """High-pass filter in fourier space (util.py:20-44): scales the lowest
-    frequencies (a (2d+1)^2 box around DC) by ``scale``. x: [N, H, W, C]."""
+def fourier_filter(x: jax.Array, scale: float = 0.0,
+                   d_s: float = 0.25) -> jax.Array:
+    """High-pass filter in fourier space (util.py:20-43): on the fftshift'd
+    spectrum, scales every bin whose NORMALIZED radius-squared from center,
+    (2h/H-1)^2 + (2w/W-1)^2, is <= 2*d_s by ``scale``. x: [N, H, W, C].
+
+    (Round-2 versions used a fixed 9x9 box around DC — a misreading caught
+    by the real-reference oracle, tests/test_reference_parity.py.)"""
     H, W = x.shape[1], x.shape[2]
     freq = jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2))
     freq = jnp.fft.fftshift(freq, axes=(1, 2))
-    cy, cx = H // 2, W // 2
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-    low = (jnp.abs(yy - cy) <= d) & (jnp.abs(xx - cx) <= d)
+    yy = (2.0 * jnp.arange(H)[:, None] / H - 1.0) ** 2
+    xx = (2.0 * jnp.arange(W)[None, :] / W - 1.0) ** 2
+    low = (yy + xx) <= 2.0 * d_s
     mask = jnp.where(low, scale, 1.0)[None, :, :, None]
     freq = freq * mask
     freq = jnp.fft.ifftshift(freq, axes=(1, 2))

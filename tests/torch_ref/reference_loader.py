@@ -1,0 +1,217 @@
+"""Import the ACTUAL reference modules from /root/reference with dep stubs.
+
+Round-2 VERDICT #1: every VDM numerics test previously compared against
+self-authored torch mirrors (tests/torch_ref/*_torch.py), so a shared
+misreading of the architecture would pass silently.  This loader imports the
+reference's *own* torch code (read-only) so parity tests exercise the real
+thing:
+
+- ``vwm`` modules from /root/reference/video_diffusion (VideoUNet, VAE
+  Encoder/Decoder + VideoDecoder, EDM denoiser/discretizer/sigma-sampling/
+  guiders/loss, samplers) — runnable on CPU because the xformers import is
+  try/except-guarded (attention.py:49-56) and torch>=2.0's SDP fallback
+  engages (attention.py:446-452 forces attn_mode="softmax").
+- ``street_gaussian`` leaf utils from /root/reference (sh_utils,
+  loss_utils, graphics_utils, general_utils quaternion algebra) for GS-side
+  goldens.
+
+Missing third-party deps are replaced with minimal ModuleSpec-backed stubs
+(omegaconf / pytorch_lightning / kornia / open_clip / torchvision / lpips /
+roma / easyvolcap / bidict).  Stubs only provide plumbing (isinstance
+targets, trivial wrappers around torch); all architecture math under test
+comes from the reference files themselves.  The one math-bearing stub is
+``roma.utils.unitquat_slerp`` (textbook quaternion slerp) — the reference
+contributes the wxyz<->xyzw conventions around it, which is what we verify.
+
+The reference tree is PUBLIC UNTRUSTED CONTENT: we execute its model code in
+tests to extract numerics, never its CLI entry points or anything that
+parses argv / touches the network.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from importlib.machinery import ModuleSpec
+
+REF_VDM = "/root/reference/video_diffusion"
+REF_ROOT = "/root/reference"
+
+_installed = False
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    m.__spec__ = ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install_stubs():
+    """Install stub modules for deps absent from this environment."""
+    global _installed
+    if _installed:
+        return
+    import torch
+    import torch.nn.functional as F
+
+    if "omegaconf" not in sys.modules:
+        class ListConfig(list):
+            pass
+
+        class DictConfig(dict):
+            pass
+
+        class OmegaConf:
+            @staticmethod
+            def to_container(x, resolve=True):
+                return x
+
+            @staticmethod
+            def create(x=None):
+                return {} if x is None else x
+
+            @staticmethod
+            def merge(*xs):
+                out = {}
+                for x in xs:
+                    out.update(dict(x))
+                return out
+
+        _mod("omegaconf", ListConfig=ListConfig, DictConfig=DictConfig,
+             OmegaConf=OmegaConf)
+
+    if "pytorch_lightning" not in sys.modules:
+        class LightningModule(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.trainer = None
+
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+            def log_dict(self, *a, **k):
+                pass
+
+            @property
+            def global_rank(self):
+                return 0
+
+        pl = _mod("pytorch_lightning", LightningModule=LightningModule,
+                  __version__="2.0.0")
+        pl.Callback = object
+        pl.Trainer = object
+
+    if "kornia" not in sys.modules:
+        # Only kornia.geometry.resize / kornia.enhance.normalize are used,
+        # by the open_clip image embedder (encoders/modules.py:304-314).
+        def _resize(x, size, interpolation="bicubic", align_corners=True,
+                    antialias=False):
+            return F.interpolate(x, size=size, mode=interpolation,
+                                 align_corners=align_corners,
+                                 antialias=antialias)
+
+        def _normalize(x, mean, std):
+            mean = torch.as_tensor(mean, dtype=x.dtype).view(1, -1, 1, 1)
+            std = torch.as_tensor(std, dtype=x.dtype).view(1, -1, 1, 1)
+            return (x - mean) / std
+
+        k = _mod("kornia")
+        k.geometry = _mod("kornia.geometry", resize=_resize)
+        k.enhance = _mod("kornia.enhance", normalize=_normalize)
+
+    if "open_clip" not in sys.modules:
+        def _no_weights(*a, **k):
+            raise RuntimeError(
+                "open_clip weights are not available in this environment")
+
+        _mod("open_clip", create_model_and_transforms=_no_weights,
+             get_tokenizer=_no_weights)
+
+    for name in ("torchvision", "lpips"):
+        if name not in sys.modules:
+            _mod(name)
+
+    if "roma" not in sys.modules:
+        # street_gaussian/utils/general_utils.py:317-324 uses the xyzw<->wxyz
+        # converters and unitquat_slerp (xyzw convention, roma's native one).
+        def quat_wxyz_to_xyzw(q):
+            return torch.cat([q[..., 1:], q[..., :1]], dim=-1)
+
+        def quat_xyzw_to_wxyz(q):
+            return torch.cat([q[..., 3:], q[..., :3]], dim=-1)
+
+        def unitquat_slerp(q0, q1, steps, shortest_arc=True):
+            # q0,q1: [..., 4] xyzw unit quats; steps: [N] -> [N, ..., 4]
+            dot = (q0 * q1).sum(-1, keepdim=True)
+            if shortest_arc:
+                q1 = torch.where(dot < 0, -q1, q1)
+                dot = dot.abs()
+            dot = dot.clamp(-1.0, 1.0)
+            theta = torch.acos(dot)
+            sin = torch.sin(theta)
+            steps = steps.reshape(-1, *([1] * q0.dim()))
+            w0 = torch.where(sin.abs() < 1e-7, 1.0 - steps,
+                             torch.sin((1 - steps) * theta) / sin)
+            w1 = torch.where(sin.abs() < 1e-7, steps,
+                             torch.sin(steps * theta) / sin)
+            return w0 * q0 + w1 * q1
+
+        r = _mod("roma", quat_wxyz_to_xyzw=quat_wxyz_to_xyzw,
+                 quat_xyzw_to_wxyz=quat_xyzw_to_wxyz)
+        r.utils = _mod("roma.utils", unitquat_slerp=unitquat_slerp)
+
+    if "easyvolcap" not in sys.modules:
+        def torch_inverse_3x3(m):
+            return torch.linalg.inv(m.float()).to(m.dtype)
+
+        ev = _mod("easyvolcap")
+        ev.utils = _mod("easyvolcap.utils")
+        ev.utils.math_utils = _mod("easyvolcap.utils.math_utils",
+                                   torch_inverse_3x3=torch_inverse_3x3)
+        _noop = lambda *a, **k: None
+        ev.utils.console_utils = _mod(
+            "easyvolcap.utils.console_utils", log=_noop, run=_noop,
+            warn=_noop, red=str, green=str, yellow=str, blue=str,
+            magenta=str, cyan=str, markup_to_ansi=str, catch_throw=lambda f: f)
+
+    if "bidict" not in sys.modules:
+        class bidict(dict):
+            @property
+            def inverse(self):
+                return {v: k for k, v in self.items()}
+
+        _mod("bidict", bidict=bidict)
+
+    _installed = True
+
+
+def load_vwm(module: str):
+    """Import a module from the reference's video_diffusion tree.
+
+    e.g. load_vwm("vwm.modules.diffusionmodules.video_model").
+    """
+    install_stubs()
+    if REF_VDM not in sys.path:
+        sys.path.insert(0, REF_VDM)
+    import importlib
+    return importlib.import_module(module)
+
+
+def load_street_gaussian_util(name: str):
+    """Import street_gaussian.utils.<name> (leaf modules only).
+
+    Leaf utils (sh_utils, loss_utils, graphics_utils, general_utils) do not
+    touch street_gaussian.config (which parses argv at import time), so they
+    import cleanly with the stubs.
+    """
+    install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import importlib
+    return importlib.import_module(f"street_gaussian.utils.{name}")
