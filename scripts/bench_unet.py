@@ -97,8 +97,12 @@ def main():
             n = 1
             for s in sd.shape:
                 n *= s
-            i = jnp.arange(n, dtype=jnp.float32)
-            return (0.02 * jnp.cos(i * 0.7)).reshape(sd.shape).astype(pdt)
+            # int32 iota with a prime modulus: exact for any leaf size
+            # (f32 arange loses integer exactness past 2^24 ~ 16.8M, and the
+            # largest current leaf is already at 14.75M)
+            i = jnp.arange(n, dtype=jnp.int32) % 100003
+            return (0.02 * jnp.cos(i.astype(jnp.float32) * 0.7)
+                    ).reshape(sd.shape).astype(pdt)
         return jax.tree.map(fill, shapes)
 
     params = materialize()

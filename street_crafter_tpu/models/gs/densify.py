@@ -107,6 +107,11 @@ def densify_and_prune(
     # radius): sky specialization (gaussian_model_sky.py:62-76) — split
     # children sample around the PINNED positions and scales are clamped at
     # the sphere radius for the clone/split/big-point tests
+    extra: dict[str, jax.Array] | None = None,  # per-Gaussian sidecar
+    # columns ([cap, ...], e.g. the semantic logits of gaussian_model.py:45)
+    # that must follow the same clone/split/prune surgery; children copy the
+    # parent's value (the reference cats _semantic alongside features in
+    # densification_postfix)
     use_abs: bool | jax.Array = True,  # densify on the absgrad column
     # (gsplat-default behavior; gaussian_model_bkgd.py:102-105 — note the
     # reference's densify_grad_abs_* flag TRUE selects column 1, the SIGNED
@@ -161,6 +166,10 @@ def densify_and_prune(
         "features_rest": pool.features_rest, "scaling": pool.scaling,
         "rotation": pool.rotation, "opacity": pool.opacity,
     }
+    if extra:
+        for name, arr in extra.items():
+            assert name not in arrays and arr.shape[0] == cap, name
+            arrays[name] = arr
     updated = {k: v for k, v in arrays.items()}
 
     for j in range(2):
@@ -212,6 +221,9 @@ def densify_and_prune(
         n_split=jnp.sum(split_mask & fits),
         n_pruned=jnp.sum(prune),
         n_valid=jnp.sum(new_valid))
+    if extra:
+        new_extra = {k: updated[k] for k in extra}
+        return new_pool, new_adam, init_densify_state(cap), info, new_extra
     return new_pool, new_adam, init_densify_state(cap), info
 
 

@@ -53,6 +53,11 @@ def render_flat(
     coarse_factor: int = 8,
     max_per_coarse: int = 4096,
     max_per_row: int | None = None,
+    extra_channels: jax.Array | None = None,  # [N, Ks] per-gaussian values
+    # alpha-composited alongside color (e.g. semantic logits,
+    # street_gaussian_renderer.py:195-200); XLA path only. Returned under
+    # "semantic" (un-normalized composite, matching the depth convention
+    # before its alpha division)
 ) -> dict[str, jax.Array]:
     """Render a flat gaussian soup. Returns rgb [H,W,3], acc, depth, radii,
     visibility."""
@@ -81,6 +86,9 @@ def render_flat(
 
     # depth as extra channel (renderer :265-287)
     chan = jnp.concatenate([colors, proj.depths[:, None]], -1)
+    if extra_channels is not None:
+        assert method == "xla", "extra channels need the generic XLA path"
+        chan = jnp.concatenate([chan, extra_channels], -1)
 
     if method == "fused":
         out = rasterize_pixels_fused(
@@ -120,6 +128,8 @@ def render_flat(
         "radii": proj.radii / float(max(height, width)),
         "visibility": proj.valid & (proj.radii > 0),
     }
+    if extra_channels is not None:
+        result["semantic"] = out.colors[..., 4:]
     if out.stats is not None:
         result["raster_stats"] = out.stats
     return result

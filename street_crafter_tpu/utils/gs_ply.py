@@ -21,8 +21,12 @@ import numpy as np
 from ..models.gs.params import GaussianPool
 
 
-def pool_to_attributes(pool: GaussianPool) -> tuple[list[str], np.ndarray]:
-    """Valid rows of a pool -> (attribute names, [n, D] float32 matrix)."""
+def pool_to_attributes(pool: GaussianPool, semantic: np.ndarray | None = None
+                       ) -> tuple[list[str], np.ndarray]:
+    """Valid rows of a pool -> (attribute names, [n, D] float32 matrix).
+
+    ``semantic``: optional [cap, num_classes] logits appended as trailing
+    ``semantic_i`` properties (gaussian_model.py:90-95)."""
     valid = np.asarray(pool.valid)
     xyz = np.asarray(pool.xyz)[valid]
     n = xyz.shape[0]
@@ -41,21 +45,28 @@ def pool_to_attributes(pool: GaussianPool) -> tuple[list[str], np.ndarray]:
              + ["opacity"]
              + [f"scale_{i}" for i in range(scale.shape[1])]
              + [f"rot_{i}" for i in range(rot.shape[1])])
-    mat = np.concatenate(
-        [xyz, np.zeros_like(xyz), f_dc, f_rest, opacity, scale, rot],
-        axis=1).astype(np.float32)
+    parts = [xyz, np.zeros_like(xyz), f_dc, f_rest, opacity, scale, rot]
+    if semantic is not None:
+        sem = np.asarray(semantic)[valid].reshape(n, -1)
+        names += [f"semantic_{i}" for i in range(sem.shape[1])]
+        parts.append(sem)
+    mat = np.concatenate(parts, axis=1).astype(np.float32)
     return names, mat
 
 
 def export_gaussians_ply(path: str | os.PathLike,
-                         pools: dict[str, GaussianPool] | GaussianPool
-                         ) -> None:
+                         pools: dict[str, GaussianPool] | GaussianPool,
+                         semantics: dict[str, np.ndarray] | np.ndarray | None
+                         = None) -> None:
     """Write one binary PLY. A bare pool -> single ``vertex`` element; a
-    dict -> one ``vertex_<name>`` element per pool (reference composite)."""
+    dict -> one ``vertex_<name>`` element per pool (reference composite).
+    ``semantics`` mirrors ``pools``' shape: per-pool [cap, K] logits."""
     if isinstance(pools, GaussianPool):
-        elements = [("vertex", *pool_to_attributes(pools))]
+        elements = [("vertex", *pool_to_attributes(pools, semantics))]
     else:
-        elements = [(f"vertex_{name}", *pool_to_attributes(p))
+        semantics = semantics or {}
+        elements = [(f"vertex_{name}",
+                     *pool_to_attributes(p, semantics.get(name)))
                     for name, p in pools.items()]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     header = ["ply", "format binary_little_endian 1.0"]
@@ -136,13 +147,27 @@ def _attributes_to_pool(cols: dict[str, np.ndarray],
 
 
 def import_gaussians_ply(path: str | os.PathLike,
-                         capacity: int | None = None
-                         ) -> dict[str, GaussianPool]:
+                         capacity: int | None = None,
+                         with_semantics: bool = False):
     """Read a 3DGS PLY back into pools. Returns {model_name: pool}; a plain
-    single-element ``vertex`` file maps to {"vertex": pool}."""
+    single-element ``vertex`` file maps to {"vertex": pool}. With
+    ``with_semantics=True`` also returns {model_name: [cap, K] logits or
+    None} parsed from trailing ``semantic_i`` properties
+    (gaussian_model.py:143-155)."""
     out = {}
+    sems = {}
     for el_name, cols in _parse_elements(path):
         name = el_name[len("vertex_"):] if el_name.startswith("vertex_") \
             else el_name
-        out[name] = _attributes_to_pool(cols, capacity)
+        pool = _attributes_to_pool(cols, capacity)
+        out[name] = pool
+        if any(k.startswith("semantic_") for k in cols):
+            sem = _sorted_cols(cols, "semantic_").astype(np.float32)
+            pad = pool.capacity - sem.shape[0]
+            sems[name] = np.concatenate(
+                [sem, np.zeros((pad, sem.shape[1]), np.float32)])
+        else:
+            sems[name] = None
+    if with_semantics:
+        return out, sems
     return out
