@@ -19,8 +19,49 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+import json  # noqa: E402
+import pathlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r2 #8). Durations measured on the 1-core CI host
+# (full suite ~67 min) are checked in as durations_r3.json; this hook marks:
+#   slow  — individually >= SLOW_S seconds        -> `-m "not slow"` ~ 15 min
+#   smoke — fast tests outside heavy-fixture modules -> `-m smoke`   < 3 min
+# Regenerate the manifest with `pytest --durations=0 -q` after large changes.
+# ---------------------------------------------------------------------------
+SLOW_S = 45.0
+SMOKE_CALL_MAX_S = 5.0
+_DUR = json.loads(
+    (pathlib.Path(__file__).parent / "durations_r3.json").read_text())
+# Modules whose shared fixtures cost >=10 s to build: one smoke test from
+# such a module would pay the whole fixture, so exclude the module entirely.
+_HEAVY_FIXTURE_MODULES = {
+    nid.split("::")[0] for nid, v in _DUR.items() if v["setup"] >= 10.0}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: test takes >=45s on the 1-core CI host")
+    config.addinivalue_line(
+        "markers", "smoke: fast tier, `pytest -m smoke` runs in <3 min")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("::")[0]
+        key = item.nodeid if item.nodeid.startswith("tests/") \
+            else "tests/" + item.nodeid
+        rec = _DUR.get(key)
+        total = (rec["call"] + rec["setup"]) if rec else 0.0
+        if total >= SLOW_S:
+            item.add_marker(pytest.mark.slow)
+        mod = key.split("::")[0]
+        if (mod not in _HEAVY_FIXTURE_MODULES
+                and (rec is None or rec["call"] <= SMOKE_CALL_MAX_S)):
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture
