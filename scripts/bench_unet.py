@@ -151,13 +151,17 @@ def main():
     print("val:", float(fwd(params, *batches[0])), flush=True)
     print("compiled; timing ...", flush=True)
 
-    t0 = time.perf_counter()
-    outs = [fwd(params, *batches[i % 3]) for i in range(args.iters)]
-    _ = float(outs[-1])
-    dt = (time.perf_counter() - t0) / args.iters
+    # two timed loops; the FIRST loop on a fresh executable reads 1.5-11x
+    # slow over the axon tunnel (CLAUDE.md) — report the second.
+    for loop in ("warm", "timed"):
+        t0 = time.perf_counter()
+        outs = [fwd(params, *batches[i % 3]) for i in range(args.iters)]
+        _ = float(outs[-1])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"[{loop}] {dt*1e3:.0f} ms/eval", flush=True)
     print(f"UNet {'fine-tune fwd+bwd' if args.grad else 'CFG eval'} "
           f"{T}f {H}x{W} "
-          f"params={'f32' if args.f32 else 'bf16'} "
+          f"params={'f32' if args.f32 else 'bf16'} quant={args.quant} "
           f"policy={'none' if args.no_policy else 'bf16'}: "
           f"{dt*1e3:.0f} ms/eval -> {dt*50:.1f} s per 50-step sample")
 

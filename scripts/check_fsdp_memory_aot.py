@@ -1,0 +1,159 @@
+"""Compiler-verified per-device memory of the FULL-SIZE fine-tune step.
+
+Round-2 VERDICT weak #3: the "full-size FSDP fits v5e-8" claim rested on
+eval_shape arithmetic (scripts/check_fsdp_memory.py) — and that arithmetic
+assumed bf16 params, while the real trainer keeps f32 masters with a bf16
+COMPUTE dtype (models/vdm/weights.py:36-38). This script AOT-lowers the
+actual ``make_vdm_train_step`` (B clips x 25 frames, 576x1024 -> 72x128
+latents, remat_policy flash0) through the real XLA SPMD compiler on a
+virtual 8-device mesh and reports ``compiled.memory_analysis()`` per-device
+sizes for DDP vs FSDP layouts.
+
+Caveat: the backend here is CPU, so fusion/layout decisions can differ
+slightly from TPU; argument/output sizes are exact for the layouts, temp
+size is the compiler's own accounting of the chosen schedule.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/check_fsdp_memory_aot.py [--tiny] [--batch 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update("jax_platforms", "cpu")
+
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from street_crafter_tpu.models.vdm.engine import (  # noqa: E402
+    EngineConfig, VideoDiffusionEngine)
+from street_crafter_tpu.models.vdm.unet import UNetConfig  # noqa: E402
+from street_crafter_tpu.models.vdm.vae import VAEConfig  # noqa: E402
+from street_crafter_tpu.models.vdm.clip import CLIPVisualConfig  # noqa: E402
+from street_crafter_tpu.parallel import (  # noqa: E402
+    ShardingRules, make_virtual_cpu_mesh)
+from street_crafter_tpu.training.vdm_trainer import (  # noqa: E402
+    init_vdm_train_state, make_vdm_train_step)
+
+GB = 1 / 2 ** 30
+V5E_HBM = 15.75
+
+
+def with_sharding(sds_tree, spec_fn):
+    return jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                       sharding=spec_fn(s)),
+        sds_tree)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny engine smoke run (seconds, sanity only)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="clips per step (reference: bs=1/GPU x 8 GPUs)")
+    ap.add_argument("--frames", type=int, default=0,
+                    help="override num_frames (0 = config default)")
+    args = ap.parse_args()
+
+    mesh = make_virtual_cpu_mesh(8, {"data": 8})
+
+    if args.tiny:
+        cfg = EngineConfig.tiny(num_frames=args.frames or 2)
+        H = W = 32
+    else:
+        T = args.frames or 25
+        # full-size fine-tune configuration (engine_from_config defaults:
+        # bf16 compute dtype, f32 param masters, remat flash0)
+        cfg = EngineConfig(
+            unet=UNetConfig(dtype="bfloat16", remat_policy="flash0"),
+            vae=VAEConfig(dtype="bfloat16"),
+            clip=CLIPVisualConfig(dtype="bfloat16"),
+            num_frames=T)
+        H, W = 576, 1024
+    T = cfg.num_frames
+    B = args.batch
+    eng = VideoDiffusionEngine(cfg)
+
+    print(f"AOT memory check: B={B} clips x {T}f, images {H}x{W}", flush=True)
+    params_sds = jax.eval_shape(
+        lambda k: eng.init_params(k, H, W), jax.random.PRNGKey(0))
+    state_sds = jax.eval_shape(
+        lambda p: init_vdm_train_state(eng, p), params_sds)
+
+    f = 2 ** (len(cfg.vae.ch_mult) - 1)     # VAE downsample factor (f8 full)
+    h, w = H // f, W // f
+    lat_sds = jax.ShapeDtypeStruct((B, T, h, w, 4), jnp.float32)
+    imgs_sds = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
+    cond_sds, _ = jax.eval_shape(
+        lambda p, im: eng.build_conditioning(p, im), params_sds, imgs_sds)
+    cond_sds = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct((B, T) + s.shape[1:], s.dtype)
+        if s.shape[0] in (B, B * T) else s, cond_sds)
+    batch_sds = {"latents": lat_sds, "cond": cond_sds,
+                 "guidance_latents": lat_sds}
+
+    for fsdp in (True, False):
+        rules = ShardingRules(mesh, fsdp_params=fsdp)
+
+        def state_spec(s):
+            return rules.param_spec(s)
+
+        st = type(state_sds)(
+            unet_params=with_sharding(state_sds.unet_params,
+                                      rules.param_spec),
+            frozen_params=with_sharding(state_sds.frozen_params,
+                                        rules.param_spec),
+            opt_state=with_sharding(state_sds.opt_state,
+                                    rules.opt_state_spec),
+            ema_params=with_sharding(state_sds.ema_params,
+                                     rules.param_spec),
+            step=jax.ShapeDtypeStruct(
+                (), jnp.int32, sharding=NamedSharding(mesh, P())))
+
+        def batch_spec(s):
+            if s.ndim >= 1 and s.shape[0] % 8 == 0:
+                return NamedSharding(mesh, P("data"))
+            return NamedSharding(mesh, P())
+
+        bt = with_sharding(batch_sds, batch_spec)
+        key_sds = jax.ShapeDtypeStruct(
+            (2,), jnp.uint32, sharding=NamedSharding(mesh, P()))
+
+        step = make_vdm_train_step(eng, rules=rules)
+        t0 = time.time()
+        print(f"[{'FSDP' if fsdp else 'DDP '}] lowering...", flush=True)
+        lowered = step.lower(st, bt, key_sds)
+        print(f"[{'FSDP' if fsdp else 'DDP '}] compiling "
+              f"(lower took {time.time()-t0:.0f}s)...", flush=True)
+        t0 = time.time()
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        arg = ma.argument_size_in_bytes * GB
+        out = ma.output_size_in_bytes * GB
+        tmp = ma.temp_size_in_bytes * GB
+        alias = ma.alias_size_in_bytes * GB
+        peak = getattr(ma, "peak_memory_in_bytes", 0) * GB
+        total = arg + out + tmp - alias
+        print(f"[{'FSDP' if fsdp else 'DDP '}] compile {time.time()-t0:.0f}s"
+              f"  per-device: args {arg:.2f} GB  outputs {out:.2f} GB"
+              f"  temps {tmp:.2f} GB  alias {alias:.2f}  peak {peak:.2f}"
+              f"  => args+out+temp-alias {total:.2f} GB "
+              f"({'FITS' if total < V5E_HBM else 'OVER'} v5e {V5E_HBM} GB)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

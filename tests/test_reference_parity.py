@@ -188,6 +188,52 @@ def test_unet_no_cond_mask_vs_reference():
     assert rel_err(j_out, np.moveaxis(t_out, 1, -1)) < 3e-4
 
 
+def test_unet_int8_vs_reference():
+    """W8A8 quant_convs eval path vs the reference's f32 forward (VERDICT
+    r2 #2): the int8 path must stay within a few percent of the REAL
+    architecture's output — not merely of our own f32 model — on converted
+    reference weights. Also records the f32 path's error for scale."""
+    import dataclasses
+
+    from street_crafter_tpu.models.vdm.unet import UNetConfig, VideoUNet
+    from street_crafter_tpu.models.vdm.weights import convert_torch_state_dict
+
+    real = randomize_(_real_unet(), seed=11)
+    sd = {f"model.diffusion_model.{k}": v.numpy()
+          for k, v in real.state_dict().items()}
+    cfg = UNetConfig.tiny()
+    T, H, W = 2, 8, 8
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(T, H, W, 8)).astype(np.float32)
+    ts = np.array([0.5, 0.5], np.float32)
+    ctx = rng.normal(size=(1, 2, 48)).astype(np.float32)
+    y = rng.normal(size=(1, 24)).astype(np.float32)
+
+    unet = VideoUNet(cfg)
+    params = unet.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(ts), jnp.asarray(ctx), jnp.asarray(y),
+                       num_frames=T,
+                       guidance_input=jnp.zeros((T, H, W, 4)),
+                       guidance_scale=jnp.zeros((T,)))
+    new_params, unmatched = convert_torch_state_dict(sd, cfg, params)
+    assert unmatched == []
+    with torch.no_grad():
+        t_out = np.moveaxis(
+            real(nchw(x), torch.from_numpy(ts), torch.from_numpy(ctx),
+                 torch.from_numpy(y), num_frames=T).numpy(), 1, -1)
+
+    def run(**over):
+        m = VideoUNet(dataclasses.replace(cfg, **over))
+        return np.asarray(m.apply(
+            new_params, jnp.asarray(x), jnp.asarray(ts), jnp.asarray(ctx),
+            jnp.asarray(y), num_frames=T).astype(jnp.float32))
+
+    e_f32 = rel_err(run(), t_out)
+    e_int8 = rel_err(run(quant_convs=True), t_out)
+    assert e_f32 < 3e-4, e_f32
+    assert e_int8 < 0.03, (e_int8, e_f32)
+
+
 # ====================================================================== VAE
 
 
