@@ -62,15 +62,20 @@ def make_sharded_renderer(mesh, width: int, height: int,
 
     @jax.jit
     def render_batch(params: SceneParams, meta: SceneMeta, batch: dict):
+        from ...parallel.kernel_shard import kernel_sharding
         batch = {k: jax.lax.with_sharding_constraint(v, shard)
                  for k, v in batch.items()}
         params = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(x, rep), params)
-        rgb, depth, acc = jax.vmap(
-            lambda w2c, K, fi, f, cid, ts: render_one(
-                params, meta, w2c, K, fi, f, cid, ts))(
-            batch["w2c"], batch["K"], batch["frame_idx"], batch["frame"],
-            batch["cam_id"], batch["timestamp"])
+        # kernel_sharding + spmd_axis_name: Pallas raster kernels under the
+        # sharded jit run inside a shard_map over the camera axis
+        with kernel_sharding(mesh, ()):
+            rgb, depth, acc = jax.vmap(
+                lambda w2c, K, fi, f, cid, ts: render_one(
+                    params, meta, w2c, K, fi, f, cid, ts),
+                spmd_axis_name=data_axis)(
+                batch["w2c"], batch["K"], batch["frame_idx"],
+                batch["frame"], batch["cam_id"], batch["timestamp"])
         return {"rgb": rgb, "depth": depth, "acc": acc}
 
     return render_batch

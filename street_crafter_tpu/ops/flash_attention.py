@@ -402,11 +402,32 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """[B, S, H, D] interface matching ops.attention.attention_xla."""
+    """[B, S, H, D] interface matching ops.attention.attention_xla.
+
+    Under a sharded jit (multi-chip mesh) the pallas call cannot be
+    auto-partitioned by GSPMD; when a ``parallel.kernel_shard`` context is
+    active the custom-vjp kernel is wrapped in a shard_map over the
+    context's batch axes (plus the vmapped clip axis via
+    ``vmap(spmd_axis_name=...)`` in the trainer). Leading dim not divisible
+    by the mesh axes raises — multi_head_attention falls back to the
+    partitionable XLA path."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
-    out = _flash(qf, kf, vf)
+    fl = _flash
+    from ..parallel.kernel_shard import active_kernel_sharding, wrap_kernel
+    ctx = active_kernel_sharding()
+    if ctx is not None:
+        mesh, axes = ctx
+        div = 1
+        for a in axes:
+            div *= mesh.shape[a]
+        if (b * h) % div:
+            raise ValueError(
+                f"flash batch dim {b * h} not divisible by mesh axes "
+                f"{axes} ({div}); caller falls back to XLA attention")
+        fl = wrap_kernel(_flash, in_ranks=(3, 3, 3), out_ranks=3)
+    out = fl(qf, kf, vf)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -379,21 +379,29 @@ def rasterize_pixels_fused(
     interpret = jax.default_backend() == "cpu"   # CPU tests
     compact = functools.partial(
         _compact_kernel, kc=kc, kf=kf, A=A, ts=ts, CF=CF, TWc=TWc)
-    comp, cnt = pl.pallas_call(
-        compact,
-        grid=(Tc,),
-        in_specs=[pl.BlockSpec((1, kc, A), lambda c: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, CF, kf, A), lambda c: (c, 0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
-                   jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
-        interpret=interpret,
-    )(cand, yb)
+
+    def _run_compact(cand_, yb_):
+        return pl.pallas_call(
+            compact,
+            grid=(Tc,),
+            in_specs=[pl.BlockSpec((1, kc, A), lambda c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((1, CF, kf, A), lambda c: (c, 0, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
+                       jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
+            interpret=interpret,
+        )(cand_, yb_)
+
+    # SPMD bridge: under a sharded jit (camera-DP batch render) the vmapped
+    # camera axis enters the shard_map via vmap(spmd_axis_name=...)
+    from ..parallel.kernel_shard import wrap_kernel
+    comp, cnt = wrap_kernel(_run_compact, in_ranks=(3, 3),
+                            out_ranks=(4, 3))(cand, yb)
     cnt = cnt[:, 0, :]                                     # [Tc, CF]
 
     if _debug_phase1:
@@ -405,18 +413,25 @@ def rasterize_pixels_fused(
     composite = functools.partial(
         _composite_kernel, kf=kf, A=A, C=C, ts=ts, cts=cts, TWc=TWc,
         bf16_prefix=bf16_composite)
-    packed = pl.pallas_call(
-        composite,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Tc, CF),
-            in_specs=[pl.BlockSpec((1, 1, kf, A), lambda c, f, cnt: (c, f, 0, 0))],
-            out_specs=pl.BlockSpec((1, 1, 8, P), lambda c, f, cnt: (c, f, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
-                            pltpu.VMEM((8, P), jnp.float32)]),
-        out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
-        interpret=interpret,
-    )(cnt.reshape(Tc, CF), comp)
+
+    def _run_composite(cnt_, comp_):
+        return pl.pallas_call(
+            composite,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Tc, CF),
+                in_specs=[pl.BlockSpec((1, 1, kf, A),
+                                       lambda c, f, cnt: (c, f, 0, 0))],
+                out_specs=pl.BlockSpec((1, 1, 8, P),
+                                       lambda c, f, cnt: (c, f, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
+                                pltpu.VMEM((8, P), jnp.float32)]),
+            out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
+            interpret=interpret,
+        )(cnt_, comp_)
+
+    packed = wrap_kernel(_run_composite, in_ranks=(2, 4),
+                         out_ranks=4)(cnt.reshape(Tc, CF), comp)
 
     # [Tc, CF(fy), 8, ts*cts] -> [H, W, 8] -> crop
     img = packed.reshape(THc, TWc, CF, 8, ts, cts)

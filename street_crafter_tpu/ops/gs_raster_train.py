@@ -352,21 +352,31 @@ def rasterize_pixels_trainable(
     interpret = jax.default_backend() == "cpu"
     compact = functools.partial(
         _compact_kernel, kc=kc, kf=kf, A=8, ts=ts, CF=CF, TWc=TWc)
-    comp_pos, cnt = pl.pallas_call(
-        compact,
-        grid=(Tc,),
-        in_specs=[pl.BlockSpec((1, kc, 8), lambda c: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, CF, kf, 8), lambda c: (c, 0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, 8), jnp.float32),
-                   jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
-        interpret=interpret,
-    )(jax.lax.stop_gradient(pos), yb)
+
+    def _run_compact(pos_, yb_):
+        return pl.pallas_call(
+            compact,
+            grid=(Tc,),
+            in_specs=[pl.BlockSpec((1, kc, 8), lambda c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((1, CF, kf, 8), lambda c: (c, 0, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, 8), jnp.float32),
+                       jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
+            interpret=interpret,
+        )(pos_, yb_)
+
+    # SPMD bridge (parallel/kernel_shard.py): under a camera-DP mesh the
+    # vmapped camera axis enters via vmap(spmd_axis_name=...); all
+    # per-camera dims are replicated in the inner specs
+    from ..parallel.kernel_shard import wrap_kernel
+    _run_compact = wrap_kernel(_run_compact, in_ranks=(3, 3),
+                               out_ranks=(4, 3))
+    comp_pos, cnt = _run_compact(jax.lax.stop_gradient(pos), yb)
     cnt = cnt[:, 0, :]                                      # [Tc, CF]
     comp_idx = jax.lax.stop_gradient(
         jnp.round(comp_pos[..., 0]).astype(jnp.int32) * 256
@@ -420,5 +430,6 @@ def rasterize_pixels_trainable(
 
     composite = _make_composite_train(kf, A, C, ts, cts, Tc, CF, interpret,
                                       TWc=TWc)
+    composite = wrap_kernel(composite, in_ranks=(4, 2), out_ranks=3)
     img = composite(comp, cnt)[:height, :width]
     return RasterOutput(colors=img[..., :C], alpha=img[..., C], stats=stats)

@@ -1,3 +1,5 @@
+from .kernel_shard import (active_kernel_sharding, kernel_sharding,
+                           wrap_kernel)
 from .mesh import MeshSpec, make_mesh, make_virtual_cpu_mesh, axis_size
 from .sample import sample_on_mesh, shard_window_inputs
 from .sharding import (
@@ -6,6 +8,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "active_kernel_sharding", "kernel_sharding", "wrap_kernel",
     "MeshSpec", "make_mesh", "make_virtual_cpu_mesh", "axis_size",
     "sample_on_mesh", "shard_window_inputs",
     "ShardingRules", "named_sharding", "replicated", "shard_batch",

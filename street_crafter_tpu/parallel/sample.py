@@ -10,11 +10,15 @@ at inference: annotate the leading T axis of the window inputs with the
 XLA propagates the shardings through the whole sampler — EDM loop, CFG
 batch doubling, VAE encode/decode included — and inserts the collectives.
 
-No kernel change is needed: the Pallas fused paths are gated off under
-sharded execution (``fused_temporal`` is an engine config flag;
-``SC_TPU_FORCE_XLA_ATTENTION=1`` forces the XLA attention path, which XLA
-can partition freely — a Pallas call inside a sharded jit would otherwise
-be all-gathered to one device's memory).
+Pallas kernels under the sharded jit go through the kernel_shard bridge
+(parallel/kernel_shard.py): the flash-attention custom-vjp call is wrapped
+in a shard_map over the frames axis at trace time, so the fast kernel stays
+on the multi-chip path (GSPMD cannot auto-partition Mosaic calls). Where a
+kernel's batch dim is not divisible by the axis it raises and
+multi_head_attention falls back to the freely-partitionable XLA path;
+``SC_TPU_FORCE_XLA_ATTENTION=1`` remains as a manual escape hatch.
+``fused_temporal`` (forward-only Pallas temporal stage) stays an engine
+config flag — off for sharded sampling.
 
 Verified on the virtual 8-device CPU mesh against the single-device
 sampler (tests/test_sample_mesh.py).
@@ -27,6 +31,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .kernel_shard import kernel_sharding
 from .mesh import axis_size
 
 
@@ -77,5 +82,7 @@ def sample_on_mesh(
         return engine.sample(p, k, g, c, render_images=r, **sample_kw)
 
     jfn = jax.jit(fn, static_argnames=())
-    with mesh:
+    with mesh, kernel_sharding(mesh, (frames_axis,)):
+        # the kernel_sharding context is trace-time state: it matters on
+        # the first (tracing) call and is free on cached executions
         return jfn(params, key, guide_images, cond_image, render_images)

@@ -427,9 +427,15 @@ def make_train_step(
                 lambda x: jax.lax.with_sharding_constraint(x, shard),
                 (cameras, batch))
         keys = jax.random.split(key, batch_size)
-        scalars, gparams, stats = jax.vmap(
-            compute_grads, in_axes=(None, 0, 0, 0))(
-            state.params, cameras, batch, keys)
+        # SPMD bridge for the Pallas raster kernels (parallel/kernel_shard):
+        # spmd_axis_name threads the sharded camera axis into the kernels'
+        # shard_map; GSPMD cannot auto-partition Mosaic calls on a real mesh
+        from ..parallel.kernel_shard import kernel_sharding
+        with kernel_sharding(mesh, ()):
+            scalars, gparams, stats = jax.vmap(
+                compute_grads, in_axes=(None, 0, 0, 0),
+                spmd_axis_name="data" if mesh is not None else None)(
+                state.params, cameras, batch, keys)
         scalars = jax.tree_util.tree_map(lambda x: jnp.mean(x, 0), scalars)
         gparams = jax.tree_util.tree_map(
             lambda x: jnp.mean(x.astype(jnp.float32), 0)

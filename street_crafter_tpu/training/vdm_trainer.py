@@ -25,6 +25,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.vdm.conditioner import Conditioning
+from ..parallel.kernel_shard import kernel_sharding
 from ..models.vdm.engine import VideoDiffusionEngine
 from ..models.vdm.loss import diffusion_loss
 from ..parallel.sharding import ShardingRules
@@ -177,6 +178,12 @@ def make_vdm_train_step(
     """
     tx = optimizer_from_groups(lr, grad_clip, param_groups, schedule)
     T = engine.cfg.num_frames
+    # Pallas-kernel SPMD bridge (parallel/kernel_shard.py): the clip axis
+    # rides into the kernels' shard_map via vmap(spmd_axis_name=...), the
+    # frames axis (sequence parallelism) via the kernel_sharding context.
+    kmesh = rules.mesh if rules is not None else None
+    kaxes = (rules.frames_axis,) if rules is not None else ()
+    spmd_name = rules.data_axis if rules is not None else None
 
     def train_step(state: VDMTrainState, batch: dict, key: jax.Array):
         """``batch`` leaves are per-clip batched: latents [B, T, h, w, 4],
@@ -225,7 +232,7 @@ def make_vdm_train_step(
                     dfn, k, lat, num_frames=T,
                     offset_noise_level=0.02, use_additional_loss=True)
 
-            losses, scalars = jax.vmap(per_clip)(
+            losses, scalars = jax.vmap(per_clip, spmd_axis_name=spmd_name)(
                 batch["latents"], batch["cond"], batch["guidance_latents"],
                 clip_keys, gscale)
             return losses.mean(), jax.tree_util.tree_map(
@@ -254,7 +261,8 @@ def make_vdm_train_step(
                         dfn, k, lat, num_frames=T,
                         offset_noise_level=0.02, use_additional_loss=True)
 
-                losses, scalars_ = jax.vmap(per_clip)(
+                losses, scalars_ = jax.vmap(
+                    per_clip, spmd_axis_name=spmd_name)(
                     mb["latents"], mb["cond"], mb["guidance_latents"],
                     mb["keys"], mb["gscale"])
                 return losses.mean(), jax.tree_util.tree_map(
@@ -274,14 +282,16 @@ def make_vdm_train_step(
                                                         micro_batches))[1])
             zero_s = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), sample_scalars)
-            (grads, scalars), _ = jax.lax.scan(
-                jax.checkpoint(micro), (zero_g, zero_s), micro_batches)
+            with kernel_sharding(kmesh, kaxes):
+                (grads, scalars), _ = jax.lax.scan(
+                    jax.checkpoint(micro), (zero_g, zero_s), micro_batches)
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
             scalars = jax.tree_util.tree_map(lambda s: s / accum_steps,
                                              scalars)
         else:
-            (loss, scalars), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.unet_params)
+            with kernel_sharding(kmesh, kaxes):
+                (loss, scalars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.unet_params)
         if rules is not None and rules.fsdp_params:
             # reduce-scatter the gradients straight into the FSDP layout —
             # without this the full grad tree materializes replicated
