@@ -186,6 +186,12 @@ def default_config() -> Config:
             "use_ndc_scale": True,
             "use_knn_scale": False,
             "max_intersects_per_tile": 1024,
+            # per-coarse-tile candidate capacity (static shape). The video
+            # render entries upgrade this per trajectory from a stats probe
+            # (auto_capacity, ops/gs_raster.pick_coarse_capacity) so dense
+            # post-densification scenes keep zero coarse drops.
+            "max_intersects_per_coarse": 4096,
+            "auto_capacity": True,
             # training raster backend: "auto" (Pallas fused fwd + analytic
             # bwd on TPU, XLA autodiff on CPU), "fused_train", or "xla"
             "train_method": "auto",

@@ -53,6 +53,9 @@ def render_flat(
     coarse_factor: int = 8,
     max_per_coarse: int = 4096,
     max_per_row: int | None = None,
+    select_method: str = "approx",  # "approx" | "exact" | "sort" coarse
+    # binning (exact = top_k, drop-free up to max_per_coarse; see
+    # ops/gs_raster.py)
     extra_channels: jax.Array | None = None,  # [N, Ks] per-gaussian values
     # alpha-composited alongside color (e.g. semantic logits,
     # street_gaussian_renderer.py:195-200); XLA path only. Returned under
@@ -97,6 +100,7 @@ def render_flat(
             width=width, height=height, tile_size=tile_size,
             coarse_factor=coarse_factor, max_per_coarse=max_per_coarse,
             max_per_row=max_per_row, bf16_composite=bf16_composite,
+            select_method=select_method,
             recall_target=recall_target, with_stats=with_stats)
     elif method == "fused_train":
         # differentiable Pallas path: fused forward + analytic backward
@@ -164,6 +168,8 @@ def render_scene(
     recall_target: float = 0.95,
     with_stats: bool = False,
     method: str = "xla",
+    max_per_coarse: int = 4096,
+    max_per_row: int | None = None,
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -193,7 +199,8 @@ def render_scene(
         antialiasing=antialiasing, viewspace_zero=viewspace_zero,
         absgrad_sink=absgrad_sink,
         bf16_composite=bf16_composite, recall_target=recall_target,
-        with_stats=with_stats, method=method)
+        with_stats=with_stats, method=method,
+        max_per_coarse=max_per_coarse, max_per_row=max_per_row)
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(
@@ -206,7 +213,8 @@ def render_scene(
             max_per_tile=max_per_tile, antialiasing=antialiasing,
             viewspace_zero=viewspace_zero_sky,
             absgrad_sink=absgrad_sink_sky,
-            bf16_composite=bf16_composite, method=method)
+            bf16_composite=bf16_composite, method=method,
+            max_per_coarse=max_per_coarse, max_per_row=max_per_row)
         result["rgb"] = result["rgb"] + sky_res["rgb"] * (1.0 - result["acc"][..., None])
         result["acc_sky"] = sky_res["acc"]
         result["radii_sky"] = sky_res["radii"]

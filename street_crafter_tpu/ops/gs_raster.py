@@ -70,6 +70,24 @@ def _abs_sink_bwd(_, g):
 _abs_sink_hook.defvjp(_abs_sink_fwd, _abs_sink_bwd)
 
 
+def pick_coarse_capacity(coarse_max: int, bucket: int = 2048,
+                         cap: int = 49152, headroom: float = 1.1) -> int:
+    """Round a measured per-coarse-tile candidate maximum up to a capacity
+    bucket (static shape => one compiled executable per bucket, not per
+    scene). The reference's CUDA rasterizer sizes its worklists dynamically
+    per frame (gsplat has no drops); static-shape XLA cannot — instead a
+    cheap stats probe (``with_stats=True`` reports exact pre-drop
+    ``coarse_max``) picks the bucket once per trajectory, so quality
+    degrades predictably (zero coarse drops up to ``cap``) instead of
+    silently at scale. ``headroom`` absorbs count growth between the probed
+    and rendered frames. Compaction cost is linear in kc, so buckets keep
+    oversizing bounded; the fused kernels' VMEM footprint stays <2 MB/tile
+    even at ``cap``."""
+    need = int(coarse_max * headroom)
+    k = max(bucket, -(-need // bucket) * bucket)
+    return min(k, cap)
+
+
 class RasterOutput(NamedTuple):
     colors: jax.Array  # [H, W, C]
     alpha: jax.Array   # [H, W]

@@ -37,6 +37,33 @@ def load_trained_state(cfg: Config, scene: Scene):
     return restored, it
 
 
+def probe_coarse_capacity(cfg: Config, scene: Scene, params,
+                          infos, cams, max_probes: int = 3) -> int | None:
+    """Pick the coarse-tile candidate capacity for a trajectory from a
+    stats probe (VERDICT r2 #4). Renders up to ``max_probes`` cameras
+    spread over the trajectory with ``with_stats=True`` (exact pre-drop
+    per-tile counts, ops/gs_raster.py), then rounds the observed maximum
+    up to a bucket (pick_coarse_capacity). Returns None when auto sizing
+    is disabled. One probe costs one stats render; the bucket keeps one
+    compiled executable per capacity class instead of per scene."""
+    if not bool(cfg.render.get("auto_capacity", True)) or not infos:
+        return None
+    from ..ops.gs_raster import pick_coarse_capacity
+    stats_render = make_eval_render(cfg, scene.meta,
+                                    cfg.model.gaussian.sh_degree,
+                                    with_stats=True)
+    picks = np.linspace(0, len(infos) - 1,
+                        min(max_probes, len(infos))).astype(int)
+    cmax = 0
+    for i in picks:
+        out = stats_render(params, cams[i], scene.batch_for(infos[i]))
+        cmax = max(cmax, int(out["raster_stats"]["coarse_max"]))
+    kc = pick_coarse_capacity(cmax)
+    print(f"auto capacity: coarse_max {cmax} over {len(picks)} probes "
+          f"-> kc {kc}")
+    return kc
+
+
 def render_trajectory(cfg: Config) -> dict[str, str]:
     """All train+test cameras in id order (render.py:19-40)."""
     scene = create_scene(cfg, need_processor=False)
@@ -44,11 +71,13 @@ def render_trajectory(cfg: Config) -> dict[str, str]:
     out_dir = os.path.join(scene.model_path, f"trajectory_{it}")
     vis = Visualizer(out_dir, fps=cfg.render.fps,
                      save_images=bool(cfg.render.save_image))
-    eval_render = make_eval_render(cfg, scene.meta,
-                                   cfg.model.gaussian.sh_degree)
 
     infos = scene.info.train_cameras + scene.info.test_cameras
     cams = scene.train_cameras + scene.test_cameras
+    kc = probe_coarse_capacity(cfg, scene, state.params, infos, cams)
+    eval_render = make_eval_render(cfg, scene.meta,
+                                   cfg.model.gaussian.sh_degree,
+                                   max_per_coarse=kc)
     order = np.argsort([i.uid for i in infos])
     psnrs = []
     for idx in order:
@@ -72,8 +101,12 @@ def render_novel_view(cfg: Config) -> dict[str, str]:
     videos = {}
     shifts = sorted({i.metadata["novel_view_id"]
                      for i in scene.info.novel_view_cameras})
+    kc = probe_coarse_capacity(cfg, scene, state.params,
+                               scene.info.novel_view_cameras,
+                               scene.novel_cameras)
     eval_render = make_eval_render(cfg, scene.meta,
-                                   cfg.model.gaussian.sh_degree)
+                                   cfg.model.gaussian.sh_degree,
+                                   max_per_coarse=kc)
     for shift in shifts:
         out_dir = os.path.join(scene.model_path,
                                f"novel_view_{it}_shift_{shift:.2f}")

@@ -38,7 +38,8 @@ def psnr(img: jax.Array, gt: jax.Array) -> jax.Array:
 
 
 def make_eval_render(cfg: Config, meta, sh_degree: int,
-                     with_stats: bool = False):
+                     with_stats: bool = False,
+                     max_per_coarse: int | None = None):
     """Eval renders at TRAINING fidelity by default (recall 0.95, f32
     compositing) so reported PSNR measures the model, not the fast path.
     The cheap inference path (used for trajectory videos and bench) is
@@ -52,6 +53,8 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
     # path — the fused kernel has no fine stage to instrument
     method = (str(cfg.render.get("eval_method", "fused"))
               if fast and not with_stats else "xla")
+    kc = int(max_per_coarse
+             or cfg.render.get("max_intersects_per_coarse", 4096))
     @jax.jit
     def eval_render(params, camera, batch):
         out = render_scene(
@@ -61,6 +64,7 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
             image_idx=batch.get("image_idx", 0),
             sh_degree=sh_degree, tile_size=cfg.render.tile_size,
             max_per_tile=cfg.render.max_intersects_per_tile,
+            max_per_coarse=kc,
             interpolate_pose=True, clamp=True,
             white_background=bool(cfg.data.white_background),
             bf16_composite=fast and bool(cfg.render.get("bf16_composite",
