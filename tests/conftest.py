@@ -26,16 +26,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# Test tiers (VERDICT r2 #8). Durations measured on the 1-core CI host
-# (full suite ~67 min) are checked in as durations_r3.json; this hook marks:
-#   slow  — individually >= SLOW_S seconds        -> `-m "not slow"` ~ 15 min
-#   smoke — fast tests outside heavy-fixture modules -> `-m smoke`   < 3 min
-# Regenerate the manifest with `pytest --durations=0 -q` after large changes.
+# Test tiers (VERDICT r2 #8). Two checked-in duration manifests from the
+# 1-core CI host drive the markers:
+#   durations_r3.json       — top-60 of the FULL suite (~67 min) -> `slow`
+#                             marks tests >= SLOW_S s; `-m "not slow"` ~15 min
+#   durations_r3_smoke.json — complete per-test durations of the non-slow
+#                             tier (measured ~2.5x contended) -> `smoke`
+#                             keeps tests <= SMOKE_MAX_S there; `pytest -m
+#                             smoke` ~ 129 tests, <3 min on an idle host
+# Tests absent from both manifests (new tests) default into smoke unless
+# their module has an expensive shared fixture. Regenerate with
+# `pytest --durations=0 -q` after large changes.
 # ---------------------------------------------------------------------------
 SLOW_S = 45.0
-SMOKE_CALL_MAX_S = 5.0
-_DUR = json.loads(
-    (pathlib.Path(__file__).parent / "durations_r3.json").read_text())
+SMOKE_MAX_S = 8.0   # contended seconds (~3 s idle)
+_here = pathlib.Path(__file__).parent
+_DUR = json.loads((_here / "durations_r3.json").read_text())
+_DUR_SMOKE = json.loads((_here / "durations_r3_smoke.json").read_text())
 # Modules whose shared fixtures cost >=10 s to build: one smoke test from
 # such a module would pay the whole fixture, so exclude the module entirely.
 _HEAVY_FIXTURE_MODULES = {
@@ -51,16 +58,18 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        rel = item.nodeid.split("::")[0]
         key = item.nodeid if item.nodeid.startswith("tests/") \
             else "tests/" + item.nodeid
         rec = _DUR.get(key)
         total = (rec["call"] + rec["setup"]) if rec else 0.0
         if total >= SLOW_S:
             item.add_marker(pytest.mark.slow)
+            continue
         mod = key.split("::")[0]
-        if (mod not in _HEAVY_FIXTURE_MODULES
-                and (rec is None or rec["call"] <= SMOKE_CALL_MAX_S)):
+        if mod in _HEAVY_FIXTURE_MODULES:
+            continue
+        d = _DUR_SMOKE.get(key)
+        if (d is not None and d <= SMOKE_MAX_S) or (d is None and rec is None):
             item.add_marker(pytest.mark.smoke)
 
 
