@@ -106,6 +106,91 @@ def write_gt_images(c) -> None:
           f"({arr.shape[0]}x{arr.shape[1]})", flush=True)
 
 
+def make_instrumented_hook(c, events: list):
+    """Distillation hook (VERDICT r2 #3): a MID-SIZE VDM engine (same
+    structure as the flagship — full channel_mult/attention/CLIP context
+    dims, reduced model_channels — so the conditioning plumbing and window
+    logic are exercised unchanged) with per-event wall-clock + HBM-peak
+    instrumentation. Random converted-structure weights: real checkpoints
+    are env-blocked; the rehearsal measures the reference hot loop's shape
+    (train.py:123-138 + diffusion_utils.py:229-314) on the chip, not sample
+    quality."""
+    import jax
+
+    from street_crafter_tpu.models.vdm.clip import CLIPVisualConfig
+    from street_crafter_tpu.models.vdm.engine import (EngineConfig,
+                                                      VideoDiffusionEngine)
+    from street_crafter_tpu.models.vdm.unet import UNetConfig
+    from street_crafter_tpu.models.vdm.vae import VAEConfig
+    from street_crafter_tpu.models.vdm.weights import load_vdm_params
+    from street_crafter_tpu.runner.diffusion import (DiffusionRunner,
+                                                     diffusion_camera)
+    from street_crafter_tpu.runner.train import make_eval_render
+
+    d = c.diffusion
+    mc = int(d.get("mid_channels", 192))
+    tiny_towers = bool(d.get("tiny_towers", False))  # CPU wiring smoke only
+    engine_cfg = EngineConfig(
+        unet=UNetConfig(model_channels=mc, dtype="bfloat16",
+                        fused_temporal=not tiny_towers,
+                        num_head_channels=16 if tiny_towers else 64,
+                        context_dim=48 if tiny_towers else 1024,
+                        adm_in_channels=24 if tiny_towers else 768),
+        vae=VAEConfig.tiny() if tiny_towers else VAEConfig(dtype="bfloat16"),
+        clip=(CLIPVisualConfig.tiny() if tiny_towers
+              else CLIPVisualConfig(dtype="bfloat16")),
+        num_frames=d.sample_frames, num_steps=d.num_steps,
+        cfg_scale=d.cfg_scale, decode_chunk=8)
+    engine = VideoDiffusionEngine(engine_cfg)
+    t0 = time.perf_counter()
+    params = load_vdm_params(engine, d, init_height=d.height,
+                             init_width=d.width)
+    n = sum(p.size for p in jax.tree.leaves(params))
+    print(f"[diffusion] mid engine ({mc}ch, {n/1e6:.0f} M params) "
+          f"init {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def mem_gb():
+        try:
+            st = jax.local_devices()[0].memory_stats()
+            return st.get("peak_bytes_in_use", 0) / 2**30
+        except Exception:
+            return float("nan")
+
+    def hook(trainer, iteration: int, scale: float,
+             masked_guidance: bool) -> None:
+        scene = trainer.scene
+        runner = DiffusionRunner(
+            scene, engine, params, height=d.height, width=d.width,
+            window_size=d.window_size, num_steps=d.num_steps,
+            cfg_scale=d.cfg_scale,
+            save_dir=os.path.join(scene.model_path, "diffusion"))
+        eval_render = make_eval_render(c, scene.meta,
+                                       trainer.active_sh(iteration))
+        render_s = [0.0]
+
+        def render_fn(info):
+            t0 = time.perf_counter()
+            cam = diffusion_camera(info, d.height, d.width)
+            batch = scene.batch_for(info)
+            out = eval_render(trainer.state.params, cam, batch)
+            render_s[0] += time.perf_counter() - t0
+            return out
+
+        t0 = time.perf_counter()
+        runner.run(scene.info.novel_view_cameras, scene.info.train_cameras,
+                   render_fn=render_fn, scale=scale,
+                   masked_guidance=masked_guidance)
+        ev = dict(iteration=iteration, scale=scale,
+                  total_s=time.perf_counter() - t0,
+                  gs_render_s=render_s[0], hbm_peak_gb=mem_gb())
+        events.append(ev)
+        print(f"[diffusion] it {iteration}: event {ev['total_s']:.1f}s "
+              f"(gs renders {ev['gs_render_s']:.1f}s) "
+              f"HBM peak {ev['hbm_peak_gb']:.2f} GB", flush=True)
+
+    return hook
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
@@ -113,7 +198,25 @@ def main():
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--root", default="")
+    ap.add_argument("--diffusion", action="store_true",
+                    help="distillation rehearsal: GS training + sliding-"
+                         "window VDM sampling + SDS init (VERDICT r2 #3)")
+    ap.add_argument("--mid-channels", type=int, default=192)
+    # latent H/W (image/8) must divide by 8 again for the UNet's three
+    # 2x downsamples + skips: 384x512 -> 48x64 latents
+    ap.add_argument("--diff-height", type=int, default=384)
+    ap.add_argument("--diff-width", type=int, default=512)
+    ap.add_argument("--sample-frames", type=int, default=13)
+    ap.add_argument("--num-steps", type=int, default=20)
+    ap.add_argument("--tiny-towers", action="store_true",
+                    help="tiny VAE/CLIP + small context dims (CPU wiring "
+                         "smoke only; the chip run uses full towers)")
     args = ap.parse_args()
+
+    if args.diffusion:
+        # a lane-shift trajectory has one camera per scene frame; sampling
+        # needs n >= sample_frames-1 (DiffusionRunner.run_sequence)
+        args.frames = max(args.frames, args.sample_frames - 1)
 
     root = args.root or tempfile.mkdtemp(prefix="onchip_e2e_")
     from tests.synthetic_scene import make_scene
@@ -121,14 +224,37 @@ def main():
                            img_hw=(args.height, args.width))
 
     c = build_config(scene_dir, os.path.join(root, "model"), args.iters)
+    hook, events = None, []
+    if args.diffusion:
+        c.diffusion.use_diffusion = True
+        c.diffusion.height = args.diff_height
+        c.diffusion.width = args.diff_width
+        c.diffusion.sample_frames = args.sample_frames
+        c.diffusion.num_steps = args.num_steps
+        c.diffusion.window_size = 2
+        c.diffusion.mid_channels = args.mid_channels
+        c.diffusion.tiny_towers = args.tiny_towers
+        # two sampling events inside the run; SDS partial denoise on the 2nd
+        c.diffusion.sample_iterations = [args.iters // 4, args.iters // 2]
+        c.diffusion.sds_scales = [0.7, 0.4]
+        c.diffusion.masked_guidance_iter = args.iters // 2
+        c.train.novel_view_prob = 0.3
+        c.render.novel_view.shift = [2.0]
     write_gt_images(c)
 
     from street_crafter_tpu.runner.train import train
+    if args.diffusion:
+        hook = make_instrumented_hook(c, events)
     t0 = time.perf_counter()
-    train(c)
+    train(c, diffusion_hook=hook)
     dt = time.perf_counter() - t0
+    diff_s = sum(e["total_s"] for e in events)
     print(f"on-chip e2e: {args.iters} iters in {dt:.1f} s "
           f"({dt / args.iters * 1e3:.1f} ms/iter incl. compile+eval+io)")
+    if events:
+        print(f"phase split: GS training {dt - diff_s:.1f} s, "
+              f"diffusion {diff_s:.1f} s over {len(events)} events; "
+              f"HBM peak {max(e['hbm_peak_gb'] for e in events):.2f} GB")
     print(f"outputs in {c.model_path}")
 
 

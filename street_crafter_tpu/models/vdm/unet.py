@@ -77,9 +77,11 @@ class UNetConfig:
     fused_temporal: bool = False
     # W8A8 int8 for the 2D 3x3 ResBlock/Down/Upsample convs (layers.py
     # Int8Conv): dynamic symmetric quantization hitting the v5e int8 MXU
-    # path (1.69x the bf16 conv rate). EVAL ONLY (round() kills grads);
-    # experimental — off by default, quality unvalidated against real
-    # weights in this environment
+    # path (1.69x the bf16 conv rate standalone). EVAL ONLY (round() kills
+    # grads). Validated round 3 and NOT adopted as default: end-to-end CFG
+    # eval gain is only 1.06x (convs are ~25% of eval FLOPs) at 59.8 dB
+    # min per-frame PSNR vs bf16 / 1.0% rel-err vs the reference oracle —
+    # see BASELINE.md int8 row and scripts/validate_int8_eval.py
     quant_convs: bool = False
 
     @staticmethod
