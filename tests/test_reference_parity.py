@@ -16,7 +16,10 @@ tests/torch_ref/reference_loader.py, CPU + SDP-fallback attention) and check:
   (e) StandardDiffusionLoss.get_loss incl. temporal-diff re-weighting and
       the fourier high-frequency term (loss.py:104-148, util.py:20-43);
   (f) GS-side math goldens: SH eval / IDFT, SSIM/PSNR/L1, camera matrices,
-      quaternion algebra + slerp (street_gaussian/utils/*).
+      quaternion algebra + slerp (street_gaussian/utils/*);
+  (g) lane-shift novel-view camera generation — shift direction,
+      LANE_SHIFT_SIGN, ego-pose shift, w2c inversion, actor-proximity skip
+      (novel_view_utils.py:30-122 run with its heavy imports stubbed).
 
 The self-authored mirrors remain only for surfaces the reference cannot run
 in this environment (the open_clip tower, LPIPS VGG weights).
@@ -27,6 +30,7 @@ the reference uses a normalized radial disk (2h/H-1)^2+(2w/W-1)^2 <= 2*d_s
 """
 
 import contextlib
+import os
 
 import numpy as np
 import pytest
@@ -756,3 +760,89 @@ def test_quaternion_slerp_vs_reference():
         # sign-ambiguous
         err = min(np.abs(mine - ref).max(), np.abs(mine + ref).max())
         assert err < 1e-4, (step, mine, ref)
+
+
+def test_novel_view_cameras_vs_reference():
+    """Lane-shift novel-view trajectory generation vs the reference's
+    ACTUAL waymo_novel_view_cameras (novel_view_utils.py:30-122): shift
+    direction + LANE_SHIFT_SIGN, ego-pose translation, c2w -> (R, T)
+    inversion, actor-proximity skip flag."""
+    import types
+
+    cfg_obj = types.SimpleNamespace(
+        source_path="/tmp/nv_parity/016",
+        mode="train",
+        render=types.SimpleNamespace(novel_view=types.SimpleNamespace(
+            shift=[2.0, -3.0], rotate=0.0,
+            train_actor_distance_thresh=1.5)))
+    nvu = refload.load_novel_view_utils(cfg_obj)
+    from street_gaussian.datasets.base_readers import CameraInfo as RefCI
+
+    from street_crafter_tpu.datasets.readers import CameraInfo as MyCI
+    from street_crafter_tpu.datasets.waymo import (ObjectInfo,
+                                                   waymo_novel_view_cameras)
+
+    rng = np.random.default_rng(21)
+    F = 4
+    # smooth ego trajectory with curvature + yaw
+    ego = np.tile(np.eye(4), (F, 1, 1))
+    for f in range(F):
+        th = 0.1 * f
+        ego[f, :3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                                   [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        ego[f, :3, 3] = [3.0 * f, 0.4 * f * f, 0.02 * f]
+    ext = np.eye(4)
+    ext[:3, :3] = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float64)
+    ext[:3, 3] = [1.5, 0.1, 2.0]
+    K = np.array([[800.0, 0, 480], [0, 800.0, 320], [0, 0, 1]])
+
+    # two actors: one right in front of the shifted cameras (skip), one far
+    tracklets = np.zeros((1, F, 2, 4), np.float32)
+    tracklets[0, :, 0, :3] = ego[:, :3, 3] + np.array([1.0, 0.5, 0.0])
+    tracklets[0, :2, 0, 3] = 1.0   # near actor valid only in frames 0-1
+    tracklets[0, 2:, 0, 3] = -1.0  # -> later frames consult the far actor
+    tracklets[0, :, 1, :3] = [500.0, 500.0, 0.0]
+    tracklets[0, :, 1, 3] = 1.0
+
+    def w2c_of(f):
+        return np.linalg.inv(ego[f] @ ext)
+
+    ref_cams, my_cams = [], []
+    for f in range(F):
+        w2c = w2c_of(f)
+        meta = {"cam": 0, "frame": f, "frame_idx": f,
+                "ego_pose": ego[f].copy(), "extrinsic": ext.copy()}
+        ref_cams.append(RefCI(
+            uid=f, R=w2c[:3, :3].T, T=w2c[:3, 3], FovY=0.6, FovX=0.9, K=K,
+            image=None, image_path="", image_name=f"{f:06d}_0",
+            width=960, height=640, metadata=dict(meta), guidance={}))
+        my_cams.append(MyCI(
+            uid=f, R=w2c[:3, :3].T, T=w2c[:3, 3], K=K, width=960,
+            height=640, image_name=f"{f:06d}_0", metadata=dict(meta)))
+
+    obj = ObjectInfo(id=0, object_id=0, track_id="t0", klass="vehicle",
+                     class_label=0, height=1.5, width=1.8, length=4.0,
+                     deformable=False, start_frame=0, end_frame=3)
+    obj_far = ObjectInfo(id=1, object_id=1, track_id="t1", klass="vehicle",
+                         class_label=0, height=1.5, width=1.8, length=4.0,
+                         deformable=False, start_frame=0, end_frame=3)
+    ref_obj_info = {100: {"id": 0}, 101: {"id": 1}}
+
+    ref_out = nvu.waymo_novel_view_cameras(ref_cams, ego, ref_obj_info,
+                                           tracklets)
+    my_out = waymo_novel_view_cameras(
+        my_cams, ego, [obj, obj_far], tracklets,
+        datadir="/tmp/nv_parity/016", shifts=[2.0, -3.0], mode="train",
+        train_actor_distance_thresh=1.5)
+
+    assert len(ref_out) == len(my_out) == 2 * F
+    for rc, mc in zip(ref_out, my_out):
+        assert rc.uid == mc.uid
+        np.testing.assert_allclose(mc.R, rc.R, atol=1e-10)
+        np.testing.assert_allclose(mc.T, rc.T, atol=1e-10)
+        assert rc.metadata["novel_view_id"] == mc.metadata["novel_view_id"]
+        assert rc.metadata["skip_camera"] == mc.metadata["skip_camera"]
+        assert (os.path.basename(rc.metadata["guidance_rgb_path"])
+                == os.path.basename(mc.metadata["guidance_rgb_path"]))
+    assert any(c.metadata["skip_camera"] for c in my_out)
+    assert not all(c.metadata["skip_camera"] for c in my_out)

@@ -203,6 +203,41 @@ def load_vwm(module: str):
     return importlib.import_module(module)
 
 
+def load_novel_view_utils(cfg_obj):
+    """Import the reference's novel_view_utils (lane-shift novel-view
+    cameras, novel_view_utils.py:30-122) with its heavy module-level
+    imports stubbed (renderer/model/camera_utils/img_utils are imported
+    but unused by the camera-generation functions) and
+    ``street_gaussian.config.cfg`` replaced by ``cfg_obj`` (the real one
+    parses argv at import). The math under test — lane-shift direction,
+    LANE_SHIFT_SIGN table, ego-pose shift, affine inverse, actor-proximity
+    skip — all comes from the reference files."""
+    install_stubs()
+    if "plyfile" not in sys.modules:
+        _mod("plyfile", PlyData=object, PlyElement=object)
+    _noop = lambda *a, **k: None
+    for name, attrs in (
+            ("street_gaussian.utils.img_utils",
+             dict(visualize_depth_numpy=_noop, process_depth=_noop)),
+            ("street_gaussian.models.street_gaussian_renderer",
+             dict(StreetGaussianRenderer=object)),
+            ("street_gaussian.models.street_gaussian_model",
+             dict(StreetGaussianModel=object)),
+            ("street_gaussian.utils.camera_utils",
+             dict(Camera=object, make_rasterizer=None)),
+    ):
+        if name not in sys.modules:
+            _mod(name, **attrs)
+    sys.modules["street_gaussian.config"] = _mod(
+        "street_gaussian.config", cfg=cfg_obj)
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import importlib
+    mod = importlib.import_module("street_gaussian.utils.novel_view_utils")
+    mod = importlib.reload(mod)   # rebind cfg if a prior test set another
+    return mod
+
+
 def load_street_gaussian_util(name: str):
     """Import street_gaussian.utils.<name> (leaf modules only).
 
