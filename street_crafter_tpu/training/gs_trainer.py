@@ -179,6 +179,7 @@ def make_train_step(
         lambda_novel_lpips=cfg.optim.lambda_novel_lpips)
     tile_size = cfg.render.tile_size
     max_per_tile = cfg.render.max_intersects_per_tile
+    max_per_coarse = int(cfg.render.get("max_intersects_per_coarse", 4096))
     # training raster backend: "auto" -> the differentiable Pallas path
     # (ops/gs_raster_train.py, ~1.5x faster fwd+bwd) on TPU, the XLA
     # autodiff path on CPU (interpret-mode kernels are slow in tests)
@@ -219,7 +220,8 @@ def make_train_step(
                 cam_id=batch["cam_id"], timestamp=batch.get("timestamp"),
                 image_idx=batch.get("image_idx", 0),
                 sh_degree=sh_degree, tile_size=tile_size,
-                max_per_tile=max_per_tile, flip_mask=flip_mask,
+                max_per_tile=max_per_tile, max_per_coarse=max_per_coarse,
+                flip_mask=flip_mask,
                 viewspace_zero=vz, absgrad_sink=sink,
                 viewspace_zero_sky=vz_sky, absgrad_sink_sky=sink_sky,
                 white_background=bool(cfg.data.white_background),
@@ -234,7 +236,8 @@ def make_train_step(
                     cam_id=batch["cam_id"], timestamp=batch.get("timestamp"),
                     include_bkgd=False, include_sky=False,
                     sh_degree=sh_degree, tile_size=tile_size,
-                    max_per_tile=max_per_tile, flip_mask=flip_mask,
+                    max_per_tile=max_per_tile,
+                    max_per_coarse=max_per_coarse, flip_mask=flip_mask,
                     method=train_method)
                 acc_obj = out_obj["acc"]
             scaling = p.bkgd.get_scaling() if p.bkgd is not None else None
