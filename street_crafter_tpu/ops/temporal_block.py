@@ -238,6 +238,16 @@ def temporal_block_fused(
     assert S % RS == 0 and heads * dim_head == C
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    from ..parallel.kernel_shard import active_kernel_sharding
+    ctx = active_kernel_sharding()
+    if ctx is not None and ctx[1]:
+        # mixed-rank args (replicated weights + batched activations) don't
+        # fit the generic leading-dim shard_map wrap; the sharded sampler
+        # keeps fused_temporal off (parallel/sample.py) — fail loudly
+        # rather than hit GSPMD's Mosaic auto-partition error
+        raise ValueError(
+            "fused temporal kernel is not shard-mapped for mesh axes "
+            f"{ctx[1]}; disable fused_temporal under a sharded mesh")
 
     bias8 = jnp.broadcast_to(bias[:, None, :], (B, 8, C)).astype(jnp.bfloat16)
     alpha11 = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
