@@ -116,6 +116,8 @@ def test_train_and_render(cfg):
     assert int(pools["bkgd"].num_valid()) > 100
 
 
+@pytest.mark.slow   # consumes the checkpoint test_train_and_render (slow
+# tier) writes into the module cfg dir — must ride in the same tier
 def test_virtual_warp_mode(cfg):
     """render.py mode=virtual_warp analog (novel_view_utils.py:387-490):
     per-step render/condition/mask pngs with step 0 = the source image."""
