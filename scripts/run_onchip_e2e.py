@@ -145,6 +145,13 @@ def make_instrumented_hook(c, events: list):
     t0 = time.perf_counter()
     params = load_vdm_params(engine, d, init_height=d.height,
                              init_width=d.width)
+    # eval-only hook: bf16 params at rest (the engine computes in bf16
+    # anyway) — f32 masters for a 1.3B mid engine cost 5.2 GB HBM and
+    # OOMed the subsequent GS train step on the 15.75 GB chip
+    import jax.numpy as jnp
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if hasattr(p, "dtype") and p.dtype == jnp.float32 else p, params)
     n = sum(p.size for p in jax.tree.leaves(params))
     print(f"[diffusion] mid engine ({mc}ch, {n/1e6:.0f} M params) "
           f"init {time.perf_counter()-t0:.0f}s", flush=True)
