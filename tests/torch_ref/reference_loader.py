@@ -238,6 +238,29 @@ def load_novel_view_utils(cfg_obj):
     return mod
 
 
+def load_waymo_utils(cfg_obj):
+    """Import the reference's street_gaussian/utils/waymo_utils.py (scene
+    dataparser: load_camera_info + get_obj_pose_tracking + the tracklet
+    timestamp-interpolation loop, waymo_utils.py:107-263) with
+    ``street_gaussian.config.cfg`` replaced by ``cfg_obj``.  All loading and
+    pose math comes from the reference files (waymo_utils.py +
+    data_processor/waymo_processor/waymo_helpers.py); the only stubs are
+    plumbing deps (bidict/easyvolcap/tqdm are real or stubbed by
+    install_stubs).  ``cfg_obj`` needs ``.data`` (dict, for box_scale) and
+    ``.model_path`` — pre-create ``{model_path}/colmap/triangulated/sparse/
+    model`` so generate_dataparser_outputs skips its COLMAP invocation
+    (waymo_utils.py:258-261)."""
+    install_stubs()
+    sys.modules["street_gaussian.config"] = _mod(
+        "street_gaussian.config", cfg=cfg_obj)
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import importlib
+    mod = importlib.import_module("street_gaussian.utils.waymo_utils")
+    mod = importlib.reload(mod)   # rebind cfg if a prior test set another
+    return mod
+
+
 def load_street_gaussian_util(name: str):
     """Import street_gaussian.utils.<name> (leaf modules only).
 
