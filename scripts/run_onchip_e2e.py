@@ -152,9 +152,20 @@ def make_instrumented_hook(c, events: list):
     params = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16)
         if hasattr(p, "dtype") and p.dtype == jnp.float32 else p, params)
+    # attempt-3 finding (Aug 19): bf16-at-rest (2.6 GB) was NOT enough —
+    # the first GS train step AFTER a sampling event still died
+    # RESOURCE_EXHAUSTED at the exact same point as the f32 attempt. So
+    # keep the eval-only engine params at rest on HOST: freed HBM during
+    # all GS training, pushed to device only for each event's duration
+    # (one 2.6 GB transfer per event) and deleted right after.
+    host_params = jax.device_get(params)
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+    params = host_params
     n = sum(p.size for p in jax.tree.leaves(params))
     print(f"[diffusion] mid engine ({mc}ch, {n/1e6:.0f} M params) "
-          f"init {time.perf_counter()-t0:.0f}s", flush=True)
+          f"init {time.perf_counter()-t0:.0f}s (params at rest on host)",
+          flush=True)
 
     def mem_gb():
         try:
@@ -166,8 +177,9 @@ def make_instrumented_hook(c, events: list):
     def hook(trainer, iteration: int, scale: float,
              masked_guidance: bool) -> None:
         scene = trainer.scene
+        dev_params = jax.device_put(params)
         runner = DiffusionRunner(
-            scene, engine, params, height=d.height, width=d.width,
+            scene, engine, dev_params, height=d.height, width=d.width,
             window_size=d.window_size, num_steps=d.num_steps,
             cfg_scale=d.cfg_scale,
             save_dir=os.path.join(scene.model_path, "diffusion"))
@@ -190,6 +202,10 @@ def make_instrumented_hook(c, events: list):
         ev = dict(iteration=iteration, scale=scale,
                   total_s=time.perf_counter() - t0,
                   gs_render_s=render_s[0], hbm_peak_gb=mem_gb())
+        # drop the engine's device copy before GS training resumes (see
+        # the host-at-rest note in make_instrumented_hook)
+        for leaf in jax.tree.leaves(dev_params):
+            leaf.delete()
         events.append(ev)
         print(f"[diffusion] it {iteration}: event {ev['total_s']:.1f}s "
               f"(gs renders {ev['gs_render_s']:.1f}s) "

@@ -71,18 +71,26 @@ _abs_sink_hook.defvjp(_abs_sink_fwd, _abs_sink_bwd)
 
 
 def pick_coarse_capacity(coarse_max: int, bucket: int = 2048,
-                         cap: int = 49152, headroom: float = 1.1) -> int:
+                         cap: int = 4096, headroom: float = 1.1) -> int:
     """Round a measured per-coarse-tile candidate maximum up to a capacity
     bucket (static shape => one compiled executable per bucket, not per
     scene). The reference's CUDA rasterizer sizes its worklists dynamically
     per frame (gsplat has no drops); static-shape XLA cannot — instead a
     cheap stats probe (``with_stats=True`` reports exact pre-drop
     ``coarse_max``) picks the bucket once per trajectory, so quality
-    degrades predictably (zero coarse drops up to ``cap``) instead of
-    silently at scale. ``headroom`` absorbs count growth between the probed
-    and rendered frames. Compaction cost is linear in kc, so buckets keep
-    oversizing bounded; the fused kernels' VMEM footprint stays <2 MB/tile
-    even at ``cap``."""
+    degrades predictably (drop counters reported) instead of silently at
+    scale. ``headroom`` absorbs count growth between the probed and
+    rendered frames.
+
+    The default ``cap`` is the fused kernels' COMPILE LIMIT, measured on a
+    real v5e (Aug 19): the phase-1 compaction kernel's per-program scoped
+    VMEM scales ~3 KB per candidate — kc=43008 demanded 126 MB against
+    Mosaic's 16 MB scoped-vmem limit and failed to compile; the wall sits
+    just above the 4096 bucket (~5.4k). CPU interpret-mode tests do not see
+    this. Capacities beyond 4096 need a chunked candidate axis in the
+    phase-1 kernel (round-4 item) or the XLA raster path (gather-based, no
+    VMEM wall) — callers on that path may pass a larger ``cap``
+    explicitly."""
     need = int(coarse_max * headroom)
     k = max(bucket, -(-need // bucket) * bucket)
     return min(k, cap)
