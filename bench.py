@@ -144,9 +144,14 @@ def scene_stats(flat, H, W, K, cam, n, kc=4096):
 def render_one(flat, H, W, K, cam, **kw):
     from street_crafter_tpu.models.gs.renderer import render_flat
     import jax
+    # hoist the camera constants OUT of the traced lambda: under jit
+    # tracing, the jnp ops inside Camera.w2c stage into the trace, so
+    # np.asarray on the property there raises TracerArrayConversionError
+    w2c = jnp.asarray(np.asarray(cam.w2c))
+    center = jnp.asarray(cam.camera_center)
+    Kj = jnp.asarray(K)
     fn = jax.jit(lambda f: render_flat(
-        f, jnp.asarray(np.asarray(cam.w2c)), jnp.asarray(K),
-        cam.camera_center, W, H, sh_degree=3, tile_size=16, **kw)["rgb"])
+        f, w2c, Kj, center, W, H, sh_degree=3, tile_size=16, **kw)["rgb"])
     return np.asarray(fn(flat))
 
 
