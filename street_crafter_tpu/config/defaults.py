@@ -233,6 +233,12 @@ def default_config() -> Config:
             # the distillation phase's dominant wall-clock. Requires
             # sample_frames divisible by the frames axis.
             "shard_sample": False,
+            # engine params rest in host RAM between sampling events,
+            # staged to the device per event (the reference's --low_vram
+            # submodule-offload analog, sample_condition.py:52-77; required
+            # on <=16 GB chips — see runner/diffusion.EngineParamStore).
+            # "auto" = on for accelerator backends, off on CPU.
+            "params_on_host": "auto",
             "masked_guidance_iter": 7000,
             "acc_masked_guidance": False,
             "cond_masked_guidance": True,

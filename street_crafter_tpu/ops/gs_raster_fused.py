@@ -398,8 +398,10 @@ def rasterize_pixels_fused(
         )(cand_, yb_)
 
     # SPMD bridge: under a sharded jit (camera-DP batch render) the vmapped
-    # camera axis enters the shard_map via vmap(spmd_axis_name=...)
-    from ..parallel.kernel_shard import wrap_kernel
+    # camera axis enters the shard_map via vmap(spmd_axis_name=...); the
+    # wrapped leading dim here is Tc, NOT a batch axis — guard misuse
+    from ..parallel.kernel_shard import assert_no_context_axes, wrap_kernel
+    assert_no_context_axes("gs_raster_fused")
     comp, cnt = wrap_kernel(_run_compact, in_ranks=(3, 3),
                             out_ranks=(4, 3))(cand, yb)
     cnt = cnt[:, 0, :]                                     # [Tc, CF]

@@ -372,8 +372,10 @@ def rasterize_pixels_trainable(
 
     # SPMD bridge (parallel/kernel_shard.py): under a camera-DP mesh the
     # vmapped camera axis enters via vmap(spmd_axis_name=...); all
-    # per-camera dims are replicated in the inner specs
-    from ..parallel.kernel_shard import wrap_kernel
+    # per-camera dims are replicated in the inner specs. Leading dim is Tc,
+    # NOT a batch axis — guard non-empty-axes contexts (ADVICE r3)
+    from ..parallel.kernel_shard import assert_no_context_axes, wrap_kernel
+    assert_no_context_axes("gs_raster_train")
     _run_compact = wrap_kernel(_run_compact, in_ranks=(3, 3),
                                out_ranks=(4, 3))
     comp_pos, cnt = _run_compact(jax.lax.stop_gradient(pos), yb)

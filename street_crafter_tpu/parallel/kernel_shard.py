@@ -73,6 +73,26 @@ def active_kernel_sharding() -> tuple[Mesh, tuple[str, ...]] | None:
     return st[-1] if st else None
 
 
+def assert_no_context_axes(what: str) -> None:
+    """Fail at trace time when the active kernel-sharding context carries
+    mesh axes a kernel would misapply to a NON-batch leading dim.
+
+    The raster kernels' leading dim is the coarse-tile axis Tc — only
+    correct to wrap because all current callers enter the context with
+    ``axes=()`` (the camera axis rides in via vmap(spmd_axis_name=...)).
+    If such a kernel is ever traced inside a non-empty-axes context (e.g.
+    the frames-axis context sample_on_mesh installs), sharding Tc over the
+    mesh would silently corrupt the output — mirror temporal_block_fused's
+    loud failure instead (ADVICE r3)."""
+    ctx = active_kernel_sharding()
+    if ctx is not None and ctx[1]:
+        raise ValueError(
+            f"{what}: active kernel-sharding context carries mesh axes "
+            f"{ctx[1]}, but this kernel's leading dim is not a batch axis "
+            "— enter kernel_sharding with axes=() (vmap spmd_axis_name "
+            "carries the batch axis) or use the XLA path")
+
+
 def wrap_kernel(fn: Callable, in_ranks: Sequence[int],
                 out_ranks: Sequence[int] | int) -> Callable:
     """Wrap a leading-dim-batched kernel entry in shard_map when a

@@ -99,6 +99,70 @@ def _load_rgb(path: str) -> np.ndarray:
     return img[..., :3]
 
 
+def resolve_params_on_host(dcfg) -> bool:
+    """Resolve the ``diffusion.params_on_host`` knob: True/False, or
+    "auto" = on for accelerator backends, off on CPU (where device arrays
+    already live in host RAM and staging would only copy)."""
+    v = dcfg.get("params_on_host", "auto")
+    if isinstance(v, str):
+        if v.lower() == "auto":
+            return jax.default_backend() != "cpu"
+        return v.lower() in ("1", "true", "yes", "on")
+    return bool(v)
+
+
+class EngineParamStore:
+    """Engine-parameter residency policy for distillation sampling — the
+    reference's ``--low_vram`` submodule offload analog
+    (video_diffusion/sample_condition.py:52-77), redesigned for jax: with
+    ``on_host=True`` the only long-lived copy of the (eval-only) engine
+    params lives in host RAM; ``acquire()`` stages one device copy for the
+    duration of a sampling event and ``release()`` frees it before GS
+    training resumes.
+
+    This is required, not an optimization, on the 15.75 GB v5e: a
+    device-resident engine (2.6 GB bf16 / 5.2 GB f32 at mid size) after a
+    completed sampling event starved the next GS train step's working set
+    (RESOURCE_EXHAUSTED, reproduced at both dtypes — ROUND_NOTES r3).
+    Cost: one host->device transfer of the param tree per event.
+    """
+
+    def __init__(self, params, on_host: bool):
+        self.on_host = bool(on_host)
+        if self.on_host:
+            host = jax.device_get(params)
+            for leaf in jax.tree.leaves(params):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            params = host
+        self.params = params
+        self._dev = None
+
+    def acquire(self):
+        """Device-resident params for one sampling event."""
+        if not self.on_host:
+            return self.params
+        if self._dev is None:
+            self._dev = jax.device_put(self.params)
+        return self._dev
+
+    def release(self) -> None:
+        """Drop the event's device copy (no-op when resident)."""
+        if self._dev is not None:
+            for leaf in jax.tree.leaves(self._dev):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            self._dev = None
+
+    @property
+    def host_resident(self) -> bool:
+        """True iff the at-rest copy is plain host memory and no device
+        copy is currently staged (test/assertion hook)."""
+        return (self.on_host and self._dev is None
+                and all(isinstance(leaf, np.ndarray)
+                        for leaf in jax.tree.leaves(self.params)))
+
+
 def sampling_mesh_from_cfg(cfg):
     """Mesh for frames-sharded sampling when ``diffusion.shard_sample`` is
     set and more than one device is visible; None otherwise."""

@@ -364,39 +364,49 @@ def make_diffusion_hook(cfg: Config) -> DiffusionHook:
     with the current 3DGS render as SDS initialization (train.py:123-138)."""
     from ..models.vdm.engine import VideoDiffusionEngine
     from ..models.vdm.weights import engine_from_config, load_vdm_params
-    from .diffusion import (DiffusionRunner, diffusion_camera,
+    from .diffusion import (DiffusionRunner, EngineParamStore,
+                            diffusion_camera, resolve_params_on_host,
                             sampling_mesh_from_cfg)
 
     engine_cfg = engine_from_config(cfg.diffusion)
     engine = VideoDiffusionEngine(engine_cfg)
     params = load_vdm_params(engine, cfg.diffusion)
+    # low_vram analog (sample_condition.py:52-77): between sampling events
+    # the eval-only engine params rest in host RAM so GS training gets the
+    # whole HBM; see EngineParamStore for the measured on-chip rationale.
+    store = EngineParamStore(params, resolve_params_on_host(cfg.diffusion))
 
     def hook(trainer: "GSTrainer", iteration: int, scale: float,
              masked_guidance: bool) -> None:
         scene = trainer.scene
-        runner = DiffusionRunner(
-            scene, engine, params,
-            height=cfg.diffusion.height, width=cfg.diffusion.width,
-            window_size=cfg.diffusion.window_size,
-            num_steps=cfg.diffusion.num_steps,
-            cfg_scale=cfg.diffusion.cfg_scale,
-            save_dir=os.path.join(scene.model_path, "diffusion")
-            if cfg.diffusion.save_diffusion_render else None,
-            mesh=sampling_mesh_from_cfg(cfg))
+        try:
+            runner = DiffusionRunner(
+                scene, engine, store.acquire(),
+                height=cfg.diffusion.height, width=cfg.diffusion.width,
+                window_size=cfg.diffusion.window_size,
+                num_steps=cfg.diffusion.num_steps,
+                cfg_scale=cfg.diffusion.cfg_scale,
+                save_dir=os.path.join(scene.model_path, "diffusion")
+                if cfg.diffusion.save_diffusion_render else None,
+                mesh=sampling_mesh_from_cfg(cfg))
 
-        eval_render = make_eval_render(cfg, scene.meta,
-                                       trainer.active_sh(iteration))
+            eval_render = make_eval_render(cfg, scene.meta,
+                                           trainer.active_sh(iteration))
 
-        def render_fn(info):
-            cam = diffusion_camera(info, cfg.diffusion.height,
-                                   cfg.diffusion.width)
-            batch = scene.batch_for(info)
-            return eval_render(trainer.state.params, cam, batch)
+            def render_fn(info):
+                cam = diffusion_camera(info, cfg.diffusion.height,
+                                       cfg.diffusion.width)
+                batch = scene.batch_for(info)
+                return eval_render(trainer.state.params, cam, batch)
 
-        runner.run(scene.info.novel_view_cameras, scene.info.train_cameras,
-                   render_fn=render_fn, scale=scale,
-                   masked_guidance=masked_guidance)
+            runner.run(scene.info.novel_view_cameras,
+                       scene.info.train_cameras,
+                       render_fn=render_fn, scale=scale,
+                       masked_guidance=masked_guidance)
+        finally:
+            store.release()
 
+    hook.param_store = store  # introspection hook for tests/instrumentation
     return hook
 
 

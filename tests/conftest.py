@@ -34,9 +34,10 @@ import pytest  # noqa: E402
 #                             tier (measured ~2.5x contended) -> `smoke`
 #                             keeps tests <= SMOKE_MAX_S there; `pytest -m
 #                             smoke` ~ 129 tests, <3 min on an idle host
-# Tests absent from both manifests (new tests) default into smoke unless
-# their module has an expensive shared fixture. Regenerate with
-# `pytest --durations=0 -q` after large changes.
+# Tests absent from both manifests (new tests) default into the `not slow`
+# tier, NOT smoke — a new slow test must not silently blow the <3-min smoke
+# budget (ADVICE r3). Promote new fast tests by regenerating the manifests
+# with `pytest --durations=0 -q` after large changes.
 # ---------------------------------------------------------------------------
 SLOW_S = 45.0
 SMOKE_MAX_S = 8.0   # contended seconds (~3 s idle)
@@ -69,7 +70,7 @@ def pytest_collection_modifyitems(config, items):
         if mod in _HEAVY_FIXTURE_MODULES:
             continue
         d = _DUR_SMOKE.get(key)
-        if (d is not None and d <= SMOKE_MAX_S) or (d is None and rec is None):
+        if d is not None and d <= SMOKE_MAX_S:
             item.add_marker(pytest.mark.smoke)
 
 

@@ -75,3 +75,48 @@ def test_distillation_loop(cfg):
     assert len(os.listdir(diff_dir)) == 3
     # training consumed novel views without error and advanced
     assert int(trainer.state.step) >= 7
+
+
+def test_params_on_host_bitmatch(cfg, tmp_path_factory):
+    """diffusion.params_on_host (low_vram analog, sample_condition.py:52-77):
+    engine params rest in host RAM between sampling events, and the sampled
+    supervision bit-matches the device-resident path."""
+    import copy
+
+    from street_crafter_tpu.runner.train import make_diffusion_hook, train
+
+    root = str(tmp_path_factory.mktemp("poh"))
+    outs = {}
+    for on_host in (False, True):
+        c = copy.deepcopy(cfg)
+        c.train.iterations = 4
+        c.train.save_iterations = []
+        c.diffusion.sample_iterations = [2]
+        c.diffusion.params_on_host = on_host
+        c.model_path = os.path.join(root, f"model_{int(on_host)}")
+        hook = make_diffusion_hook(c)
+        store = hook.param_store
+        assert store.on_host == on_host
+        if on_host:
+            # at rest on host from construction (before any event)
+            assert store.host_resident
+
+        seen = []
+
+        def checked_hook(trainer, iteration, scale, masked_guidance,
+                         _h=hook, _s=store, _oh=on_host):
+            _h(trainer, iteration, scale, masked_guidance)
+            # the event's device copy is dropped before GS training resumes
+            if _oh:
+                assert _s.host_resident
+            seen.append(iteration)
+
+        trainer = train(c, diffusion_hook=checked_hook)
+        assert seen == [2]
+        outs[on_host] = [
+            np.asarray(ci._image)
+            for ci in trainer.scene.info.novel_view_cameras
+            if ci._image is not None]
+        assert outs[on_host], "sampling produced no novel supervision"
+    for a, b in zip(outs[False], outs[True], strict=True):
+        np.testing.assert_array_equal(a, b)

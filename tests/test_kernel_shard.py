@@ -107,3 +107,18 @@ def test_fused_raster_executes_under_mesh():
 
     np.testing.assert_allclose(np.asarray(batched(ws)), singles,
                                atol=1e-5, rtol=1e-5)
+
+
+def test_raster_guard_rejects_context_axes():
+    """The raster kernels' leading dim is the coarse-tile axis, not a batch
+    axis — tracing them inside a non-empty-axes context must fail loudly
+    (ADVICE r3) instead of silently sharding Tc over the mesh."""
+    from street_crafter_tpu.parallel.kernel_shard import \
+        assert_no_context_axes
+
+    mesh = make_mesh({"data": 8})
+    with kernel_sharding(mesh, ()):
+        assert_no_context_axes("ok-case")  # empty axes: fine
+    with kernel_sharding(mesh, ("data",)):
+        with pytest.raises(ValueError, match="not a batch axis"):
+            assert_no_context_axes("gs_raster_fused")
