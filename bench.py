@@ -184,20 +184,30 @@ def main():
         "path": "fused-pallas coarse4096/row1024/recall0.85",
     }
 
-    # ---- capacity robustness (VERDICT r2 #4): auto-sized kc + 1M scene ----
-    # These legs exercise higher capacity classes (kc up to 49152) than the
-    # proven headline path; guard them so a VMEM/HBM failure there can never
-    # cost the headline JSON line.
+    # ---- capacity robustness (VERDICT r2 #4 / r3 #4): auto-sized kc ------
+    # The chunked phase-1 kernel (gs_raster_fused.run_compact_chunked)
+    # removed the 4096 VMEM clamp, so auto capacity now really sizes to the
+    # scene (43008-class on this 600k scene). Quality is measured against a
+    # genuinely DROP-FREE exact reference on the XLA raster path (no VMEM
+    # wall; ADVICE r3: the old "reference" clamped to the same 4096 and
+    # dropped the same candidates). Guarded so a failure in these legs can
+    # never cost the headline JSON line.
+    def exact_reference(flat_, stats_probe):
+        # capacity >= the exact pre-drop maxima: zero coarse AND fine drops
+        kc_ref = pick_coarse_capacity(stats_probe["coarse_max"],
+                                      headroom=1.0, cap=1 << 20)
+        kt_ref = -(-int(stats_probe["row_max"]) // 128) * 128
+        return render_one(flat_, H, W, K, cam, method="xla",
+                          select_method="exact", max_per_coarse=kc_ref,
+                          max_per_tile=kt_ref)
+
     try:
-        # auto capacity on the headline scene: zero coarse drops, quality
-        # delta vs an exact-select full-capacity f32 reference render
         kc_auto = pick_coarse_capacity(stats["coarse_max"])
         dt_auto = time_render(flat, H, W, method="fused", recall_target=0.85,
                               max_per_coarse=kc_auto)
-        ref = render_one(flat, H, W, K, cam, method="fused",
-                         select_method="exact",
-                         max_per_coarse=pick_coarse_capacity(
-                             stats["coarse_max"], headroom=1.0))
+        stats_auto = scene_stats(flat, H, W, K, cam, N_HEAVY, kc=kc_auto)
+        # row_max needs a probe whose coarse stage dropped nothing
+        ref = exact_reference(flat, stats_auto)
         fast = render_one(flat, H, W, K, cam, method="fused",
                           recall_target=0.85, max_per_coarse=kc_auto)
         fast_4096 = render_one(flat, H, W, K, cam, method="fused",
@@ -206,6 +216,8 @@ def main():
         q_4096 = psnr(np.clip(fast_4096, 0, 1), np.clip(ref, 0, 1))
         extra["auto_capacity_600k"] = {
             "kc": kc_auto, "fps": round(1.0 / dt_auto, 2),
+            "raster_overflow": stats_auto,
+            "ref": "xla-exact-dropfree",
             "psnr_vs_exact_db": round(q_auto, 1),
             "psnr_kc4096_vs_exact_db": round(q_4096, 1)}
 
@@ -217,15 +229,13 @@ def main():
         dt_1m = time_render(flat_1m, H, W, method="fused",
                             recall_target=0.85, max_per_coarse=kc_1m)
         stats_1m = scene_stats(flat_1m, H, W, K, cam, N_1M, kc=kc_1m)
-        ref_1m = render_one(flat_1m, H, W, K, cam, method="fused",
-                            select_method="exact",
-                            max_per_coarse=pick_coarse_capacity(
-                                stats_1m_probe["coarse_max"], headroom=1.0))
+        ref_1m = exact_reference(flat_1m, stats_1m)
         fast_1m = render_one(flat_1m, H, W, K, cam, method="fused",
                              recall_target=0.85, max_per_coarse=kc_1m)
         q_1m = psnr(np.clip(fast_1m, 0, 1), np.clip(ref_1m, 0, 1))
         extra["heavytail_1m"] = {
             "kc": kc_1m, "fps": round(1.0 / dt_1m, 2),
+            "ref": "xla-exact-dropfree",
             "psnr_vs_exact_db": round(q_1m, 1),
             "raster_overflow": stats_1m}
     except Exception as e:  # noqa: BLE001 — report, never fail the headline

@@ -189,7 +189,12 @@ def default_config() -> Config:
             # per-coarse-tile candidate capacity (static shape). The video
             # render entries upgrade this per trajectory from a stats probe
             # (auto_capacity, ops/gs_raster.pick_coarse_capacity) so dense
-            # post-densification scenes keep zero coarse drops.
+            # post-densification scenes keep zero COARSE drops (the chunked
+            # phase-1 kernel compiles through >=16k; per-16px-row lists are
+            # still VMEM-capped at 2048 — depth-ordered, so only the
+            # farthest row tail can drop, reported in row_dropped stats).
+            # Auto probing never picks BELOW this value (it is the floor
+            # for frames the probe did not see).
             "max_intersects_per_coarse": 4096,
             "auto_capacity": True,
             # training raster backend: "auto" (Pallas fused fwd + analytic

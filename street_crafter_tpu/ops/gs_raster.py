@@ -71,7 +71,7 @@ _abs_sink_hook.defvjp(_abs_sink_fwd, _abs_sink_bwd)
 
 
 def pick_coarse_capacity(coarse_max: int, bucket: int = 2048,
-                         cap: int = 4096, headroom: float = 1.1) -> int:
+                         cap: int = 65536, headroom: float = 1.1) -> int:
     """Round a measured per-coarse-tile candidate maximum up to a capacity
     bucket (static shape => one compiled executable per bucket, not per
     scene). The reference's CUDA rasterizer sizes its worklists dynamically
@@ -82,15 +82,16 @@ def pick_coarse_capacity(coarse_max: int, bucket: int = 2048,
     scale. ``headroom`` absorbs count growth between the probed and
     rendered frames.
 
-    The default ``cap`` is the fused kernels' COMPILE LIMIT, measured on a
-    real v5e (Aug 19): the phase-1 compaction kernel's per-program scoped
-    VMEM scales ~3 KB per candidate — kc=43008 demanded 126 MB against
-    Mosaic's 16 MB scoped-vmem limit and failed to compile; the wall sits
-    just above the 4096 bucket (~5.4k). CPU interpret-mode tests do not see
-    this. Capacities beyond 4096 need a chunked candidate axis in the
-    phase-1 kernel (round-4 item) or the XLA raster path (gather-based, no
-    VMEM wall) — callers on that path may pass a larger ``cap``
-    explicitly."""
+    History: round 3 measured a Mosaic scoped-VMEM compile wall just above
+    kc=4096 in the phase-1 compaction kernel (a [kc, A=8] f32 block pads
+    its lane dim to 128 -> ~0.5 KB/candidate/buffer; kc=43008 demanded
+    126 MB against the 16 MB limit) and clamped ``cap`` to 4096. The
+    kernel now streams the candidate axis in 2048-candidate chunks
+    (gs_raster_fused.run_compact_chunked), so every kc-dependent VMEM
+    buffer is bounded and capacity classes compile through >=16k. The
+    remaining ``cap`` is the train path's compacted-index representation
+    limit (hi/lo bytes bf16-exact to 65535) — far above any measured
+    scene (1M-splat heavy tail probes ~64k)."""
     need = int(coarse_max * headroom)
     k = max(bucket, -(-need // bucket) * bucket)
     return min(k, cap)

@@ -50,31 +50,62 @@ from jax.experimental.pallas import tpu as pltpu
 from .gs_raster import RasterOutput, _INF
 
 _KB = 128          # candidate block (sublane axis of the alpha matrix)
+_KCH = 2048        # candidate-axis CHUNK streamed per grid step. A
+# [kch, A<=16] f32 VMEM block pads its lane dim to 128 (Mosaic (8,128)
+# tiling) -> ~512 B per candidate per buffer; bringing the WHOLE kc list
+# in at once is what hit Mosaic's 16 MB scoped-VMEM wall at kc just above
+# 4096 (kc=43008 demanded 126 MB, round-3 bench). Chunking bounds every
+# kc-dependent buffer at _KCH regardless of capacity class.
+_KF_CAP = 2048     # per-16px-row compacted capacity cap: the [CF, kf, A]
+# output block (and the composite kernel's [kf, A] row block) still pad
+# A to 128 lanes, so kf is VMEM-bounded independently of kc. Rows fill in
+# DEPTH ORDER, so truncation drops only the farthest (mostly occluded)
+# tail; row_dropped stats report it. On synthetic ultra-dense tiles the
+# row cap dominates quality vs exact (30.8 dB at kf=2048 vs 82 dB at
+# full rows) — round-4 on-chip TODO: with chunking + row-wise zeroing the
+# scoped-VMEM temporaries are bounded per statement, so probe whether the
+# 16 MB comp BLOCK at kf=4096 compiles (block buffers draw on the 128 MB
+# VMEM, not the 16 MB scoped pool) and raise this cap to the measured
+# limit.
 # saturation threshold: T < 1/255 (CUDA uses 1e-4; 1/255 matches our XLA
 # path's alpha cutoff scale). Carried in log space by the kernel.
 _LOG_STOP_T = -5.545      # log(1/255)
 _LOG_CLAMP = -0.0010005   # log(ALPHA_CLAMP) = log(0.999)
 
 
-def _compact_kernel(cand_ref, yb_ref, comp_ref, cnt_ref, *,
-                    kc: int, kf: int, A: int, ts: int, CF: int, TWc: int):
+def _compact_kernel(cand_ref, yb_ref, comp_ref, cnt_ref, st_ref, *,
+                    kch: int, NB: int, kf: int, A: int, ts: int, CF: int,
+                    TWc: int):
     """Compact one coarse tile's depth-sorted candidates into CF per-row
-    lists. ``cand_ref`` [1, kc, A] sublane-major attributes; ``yb_ref``
-    [1, 4, kc] lane-major (y0, y1, depth, pad) for the mask path.
-    Outputs: ``comp_ref`` [1, CF, kf, A] compacted rows, ``cnt_ref``
-    [1, 8, CF] i32 valid-slot counts (sublane dim padded to 8 for Mosaic;
-    row 0 carries the counts)."""
+    lists, streaming the candidate axis in NB chunks of ``kch`` (grid =
+    (Tc, NB), chunk axis innermost/sequential). ``cand_ref`` [1, kch, A]
+    sublane-major attributes; ``yb_ref`` [1, 4, kch] lane-major (y0, y1,
+    depth, pad) for the mask path. Outputs (revisited across chunks, so
+    they stay VMEM-resident and flush once per tile): ``comp_ref``
+    [1, CF, kf, A] compacted rows, ``cnt_ref`` [1, 8, CF] i32 valid-slot
+    counts (sublane dim padded to 8 for Mosaic; row 0 carries the counts).
+    ``st_ref`` SMEM [CF + 1] carries the per-row write bases across chunks
+    (slot CF = 1 once the depth-sorted tail goes dead, so later chunks
+    skip their walk)."""
     c = pl.program_id(0)
+    bc = pl.program_id(1)
     tyc = c // TWc
     ty0 = (tyc * (ts * CF)).astype(jnp.float32)
+
+    @pl.when(bc == 0)
+    def _init():
+        # zero row-by-row: a whole-block zeros temp scales with CF*kf
+        for r in range(CF):
+            comp_ref[0, r] = jnp.zeros((kf, A), jnp.float32)
+        for r in range(CF + 1):
+            st_ref[r] = 0
 
     # exclusive prefix along LANES: mask [CF, KB] @ strict-UPPER ones
     ri = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (_KB, _KB), 1)
     triu = (ri < ci).astype(jnp.float32)
 
-    comp_ref[:] = jnp.zeros_like(comp_ref)
-    nb = kc // _KB
+    nb = kch // _KB
     WIN = min(_KB + 8, kf)   # slot window: floor is 8-sublane aligned, so
     # positions within a block span < KB + 8 rows from it
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN, _KB), 0) \
@@ -122,14 +153,80 @@ def _compact_kernel(cand_ref, yb_ref, comp_ref, cnt_ref, *,
             any_open = any_open | (bases[r] < kf)
         return (b < nb) & any_open & tail
 
-    init = (0,) + tuple(jnp.int32(0) for _ in range(CF)) + (jnp.bool_(True),)
+    init = (jnp.int32(0),) + tuple(st_ref[r] for r in range(CF)) \
+        + (st_ref[CF] == 0,)
     out = jax.lax.while_loop(ccond, cbody, init)
-    # scatter the CF scalar counts into the output lanes via iota selects
-    cnt = jnp.zeros((8, CF), jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, CF), 1)
     for r in range(CF):
-        cnt = jnp.where(lane == r, jnp.minimum(out[r + 1], kf), cnt)
-    cnt_ref[0] = cnt
+        st_ref[r] = out[r + 1]
+    st_ref[CF] = jnp.where(out[-1], 0, 1)   # dead depth-sorted tail
+
+    @pl.when(bc == NB - 1)
+    def _finalize():
+        # scatter the CF scalar counts into output lanes via iota selects
+        cnt = jnp.zeros((8, CF), jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, CF), 1)
+        for r in range(CF):
+            cnt = jnp.where(lane == r, jnp.minimum(st_ref[r], kf), cnt)
+        cnt_ref[0] = cnt
+
+
+def round_coarse_capacity(kc: int) -> int:
+    """Round a coarse capacity to what the chunked compaction kernel
+    requires: a multiple of _KB, and of _KCH once above one chunk."""
+    kc = max(_KB, -(-kc // _KB) * _KB)
+    if kc > _KCH:
+        kc = -(-kc // _KCH) * _KCH
+    return kc
+
+
+def default_row_capacity(kc: int) -> int:
+    """Default per-16px-row compacted capacity: kc/4 (rows saturate or run
+    dry long before the coarse list), VMEM-capped at _KF_CAP — the
+    [CF, kf, A] comp block pads A to 128 lanes, so kf cannot scale with
+    unbounded kc. Depth-ordered fill makes the cap drop only the farthest
+    row tail (reported in row_dropped stats)."""
+    kf = min(kc // 4, _KF_CAP)
+    return min(kc, max(_KB, -(-kf // _KB) * _KB))
+
+
+def run_compact_chunked(cand, yb, *, Tc: int, kc: int, kf: int, A: int,
+                        ts: int, CF: int, TWc: int, interpret: bool):
+    """pallas_call plumbing for ``_compact_kernel``, shared by the eval
+    (gs_raster_fused) and train (gs_raster_train) rasters. Grid (Tc, NB)
+    streams the candidate axis in _KCH chunks (innermost/sequential);
+    comp/cnt output blocks revisit the same block index across chunks so
+    they stay VMEM-resident and flush once per coarse tile."""
+    kch = min(kc, _KCH)
+    assert kc % kch == 0, (kc, kch)
+    NB = kc // kch
+    compact = functools.partial(_compact_kernel, kch=kch, NB=NB, kf=kf,
+                                A=A, ts=ts, CF=CF, TWc=TWc)
+    # The revisited comp output block [1, CF, kf, A] pads A to 128 lanes
+    # (CF*kf*128*4 B = 8.4 MB at CF=8/kf=2048); Mosaic charges ~2x that
+    # against its default 16 MB scoped-VMEM budget (measured 18 MB at
+    # kc=43008 on v5e, round 4) — constant in kc now that the candidate
+    # axis streams in chunks. Raise the per-kernel limit with headroom for
+    # the kf=4096 class; v5e has 128 MB VMEM total so 3x-block + margin is
+    # conservative.
+    comp_block = CF * kf * 128 * 4
+    vmem_limit = min(100 * 2**20, max(32 * 2**20, 3 * comp_block + 2**23))
+    return pl.pallas_call(
+        compact,
+        grid=(Tc, NB),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        in_specs=[pl.BlockSpec((1, kch, A), lambda c, b: (c, b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 4, kch), lambda c, b: (c, 0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, CF, kf, A), lambda c, b: (c, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, CF), lambda c, b: (c, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
+                   jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((CF + 1,), jnp.int32)],
+        interpret=interpret,
+    )(cand, yb)
 
 
 def _composite_kernel(cnt_ref, comp_ref, out_ref, acc_ref, lt_ref, *,
@@ -279,8 +376,7 @@ def rasterize_pixels_fused(
     THc = -(-height // cts)
     Tc = THc * TWc
     n = u.shape[0]
-    kc = min(max_per_coarse, n)
-    kc = -(-kc // _KB) * _KB if n >= _KB else _KB
+    kc = round_coarse_capacity(min(max_per_coarse, n) if n >= _KB else _KB)
     C = colors.shape[-1]
     assert C <= 7, "packed output carries C color rows + 1 alpha row"
 
@@ -355,9 +451,12 @@ def rasterize_pixels_fused(
     assert A >= 8, "kernel matmul reads candidate columns 0..7"
 
     # per-row capacity for the compaction kernel (a 16px row intersects
-    # ~kc/8 of its coarse tile's candidates)
-    kf = max_per_row if max_per_row is not None else kc // 4
-    kf = min(kc, max(_KB, -(-kf // _KB) * _KB))
+    # ~kc/8 of its coarse tile's candidates); VMEM-capped, see
+    # default_row_capacity
+    if max_per_row is not None:
+        kf = min(kc, max(_KB, -(-max_per_row // _KB) * _KB))
+    else:
+        kf = default_row_capacity(kc)
     if with_stats:
         y0g = yb[:, 0, :]                                 # [Tc, kc]
         y1g = yb[:, 1, :]
@@ -377,25 +476,11 @@ def rasterize_pixels_fused(
         return RasterOutput(colors=z, alpha=z[..., 0], stats=stats)
 
     interpret = jax.default_backend() == "cpu"   # CPU tests
-    compact = functools.partial(
-        _compact_kernel, kc=kc, kf=kf, A=A, ts=ts, CF=CF, TWc=TWc)
 
     def _run_compact(cand_, yb_):
-        return pl.pallas_call(
-            compact,
-            grid=(Tc,),
-            in_specs=[pl.BlockSpec((1, kc, A), lambda c: (c, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((1, CF, kf, A), lambda c: (c, 0, 0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
-                                    memory_space=pltpu.VMEM)],
-            out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
-                       jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
-            interpret=interpret,
-        )(cand_, yb_)
+        return run_compact_chunked(cand_, yb_, Tc=Tc, kc=kc, kf=kf, A=A,
+                                   ts=ts, CF=CF, TWc=TWc,
+                                   interpret=interpret)
 
     # SPMD bridge: under a sharded jit (camera-DP batch render) the vmapped
     # camera axis enters the shard_map via vmap(spmd_axis_name=...); the

@@ -51,8 +51,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gs_raster import RasterOutput, _INF
-from .gs_raster_fused import (_KB, _LOG_CLAMP, _LOG_STOP_T, _compact_kernel,
-                              _composite_kernel)
+from .gs_raster_fused import (_KB, _LOG_CLAMP, _LOG_STOP_T,
+                              _composite_kernel, default_row_capacity,
+                              round_coarse_capacity, run_compact_chunked)
 
 
 def _composite_bwd_kernel(cnt_ref, comp_ref, dout_ref, dcomp_ref,
@@ -289,8 +290,9 @@ def rasterize_pixels_trainable(
     THc = -(-height // cts)
     Tc = THc * TWc
     n = u.shape[0]
-    kc = min(max_per_coarse, n)
-    kc = -(-kc // _KB) * _KB if n >= _KB else _KB
+    kc = round_coarse_capacity(min(max_per_coarse, n) if n >= _KB else _KB)
+    assert kc <= 65536, ("compacted index hi/lo bytes are bf16-exact only "
+                         "to 65535 (see the pos packing below)")
     C = colors.shape[-1]
     assert C <= 7, "packed output carries C color rows + 1 alpha row"
 
@@ -347,28 +349,16 @@ def rasterize_pixels_trainable(
     pos = jnp.concatenate(
         [pos, jnp.zeros((Tc, kc, 6), jnp.float32)], axis=-1)  # [Tc, kc, 8]
 
-    kf = max_per_row if max_per_row is not None else kc // 4
-    kf = min(kc, max(_KB, -(-kf // _KB) * _KB))
+    if max_per_row is not None:
+        kf = min(kc, max(_KB, -(-max_per_row // _KB) * _KB))
+    else:
+        kf = default_row_capacity(kc)
     interpret = jax.default_backend() == "cpu"
-    compact = functools.partial(
-        _compact_kernel, kc=kc, kf=kf, A=8, ts=ts, CF=CF, TWc=TWc)
 
     def _run_compact(pos_, yb_):
-        return pl.pallas_call(
-            compact,
-            grid=(Tc,),
-            in_specs=[pl.BlockSpec((1, kc, 8), lambda c: (c, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, 4, kc), lambda c: (c, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((1, CF, kf, 8), lambda c: (c, 0, 0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, 8, CF), lambda c: (c, 0, 0),
-                                    memory_space=pltpu.VMEM)],
-            out_shape=[jax.ShapeDtypeStruct((Tc, CF, kf, 8), jnp.float32),
-                       jax.ShapeDtypeStruct((Tc, 8, CF), jnp.int32)],
-            interpret=interpret,
-        )(pos_, yb_)
+        return run_compact_chunked(pos_, yb_, Tc=Tc, kc=kc, kf=kf, A=8,
+                                   ts=ts, CF=CF, TWc=TWc,
+                                   interpret=interpret)
 
     # SPMD bridge (parallel/kernel_shard.py): under a camera-DP mesh the
     # vmapped camera axis enters via vmap(spmd_axis_name=...); all

@@ -58,9 +58,13 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
     for i in picks:
         out = stats_render(params, cams[i], scene.batch_for(infos[i]))
         cmax = max(cmax, int(out["raster_stats"]["coarse_max"]))
-    kc = pick_coarse_capacity(cmax)
+    # the configured capacity floors the pick (ADVICE r3): a sparse probe
+    # frame must not downgrade denser un-probed frames below the value the
+    # old fixed default handled, and a user-raised config value wins
+    floor = int(cfg.render.get("max_intersects_per_coarse", 4096))
+    kc = max(pick_coarse_capacity(cmax), floor)
     print(f"auto capacity: coarse_max {cmax} over {len(picks)} probes "
-          f"-> kc {kc}")
+          f"-> kc {kc} (config floor {floor})")
     return kc
 
 

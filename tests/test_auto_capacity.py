@@ -14,15 +14,14 @@ def test_pick_coarse_capacity_buckets():
     # headroom 1.1 pushes 1900 past one bucket
     assert pick_coarse_capacity(1900) == 4096
     assert pick_coarse_capacity(3000) == 4096
-    # the default cap is the fused kernels' measured Mosaic scoped-VMEM
-    # compile limit (see the docstring) — denser probes clamp to it
-    assert pick_coarse_capacity(3900) == 4096
-    assert pick_coarse_capacity(38351) == 4096
-    # an explicit cap (XLA raster path, no VMEM wall) restores the
-    # bucket arithmetic: ceil(38351*1.1 / 2048)*2048 = 21*2048 = 43008
-    assert pick_coarse_capacity(3900, cap=49152) == 6144
-    assert pick_coarse_capacity(38351, cap=49152) == 21 * 2048
-    assert pick_coarse_capacity(10 ** 6, cap=49152) == 49152  # capped
+    # the chunked phase-1 kernel (run_compact_chunked) removed the old
+    # 4096 Mosaic scoped-VMEM clamp: bucket arithmetic now runs through
+    # dense-scene classes — ceil(38351*1.1 / 2048)*2048 = 21*2048 = 43008
+    assert pick_coarse_capacity(3900) == 6144
+    assert pick_coarse_capacity(38351) == 21 * 2048
+    # the remaining cap is the train path's bf16-exact index limit
+    assert pick_coarse_capacity(10 ** 6) == 65536
+    assert pick_coarse_capacity(10 ** 6, cap=49152) == 49152  # explicit
     assert pick_coarse_capacity(3000, headroom=1.0) == 4096
 
 

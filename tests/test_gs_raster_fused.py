@@ -143,3 +143,52 @@ def test_fused_row_capacity_saturated():
                                  select_method="exact")
     mse = float(jnp.mean((ref.colors - out.colors) ** 2))
     assert -10 * np.log10(mse + 1e-12) > 45.0
+
+
+def test_fused_multichunk_candidate_axis():
+    """kc > _KCH streams the compaction across grid chunks (round-4 fix
+    for the Mosaic scoped-VMEM wall at kc>4096): per-row write bases must
+    carry across chunk boundaries. One coarse tile, 5000 candidates ->
+    kc=6144 = 3 chunks, low opacity so no early exit, full row capacity
+    -> must match the exact XLA rasterizer."""
+    from street_crafter_tpu.ops.gs_raster_fused import _KCH
+
+    W, H, n = 128, 64, 5000
+    args = make_scene(n, W, H, seed=6, opa_range=(0.05, 0.3))
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    out = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=n,
+                                 max_per_row=n, select_method="exact")
+    assert n > 2 * _KCH   # really exercises >=3 chunks
+    mse = float(jnp.mean((ref.colors - out.colors) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 60.0, psnr
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=5e-3)
+
+
+def test_fused_multichunk_early_exit_parity():
+    """Chunked early exit: a dead depth-sorted tail in chunk 0 must stop
+    later chunks from writing (done flag in SMEM scratch). Render with
+    half the splats invalid (depth key INF tail) at multi-chunk capacity
+    and compare against the same scene truncated to its valid half at
+    single-chunk capacity."""
+    W, H, n = 128, 64, 5000
+    args = make_scene(n, W, H, seed=7)
+    val = np.zeros(n, bool)
+    val[: n // 4] = True   # valid prefix -> 1250 live, dead tail after
+    args[8] = jnp.asarray(val)
+    out_big = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                     coarse_factor=8, max_per_coarse=n,
+                                     max_per_row=2048,
+                                     select_method="exact")
+    small = [a[: n // 4] for a in args]
+    out_small = rasterize_pixels_fused(*small, width=W, height=H,
+                                       tile_size=16, coarse_factor=8,
+                                       max_per_coarse=n // 4,
+                                       max_per_row=2048,
+                                       select_method="exact")
+    np.testing.assert_allclose(np.asarray(out_big.colors),
+                               np.asarray(out_small.colors), atol=1e-5)
