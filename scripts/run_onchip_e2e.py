@@ -26,7 +26,11 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# resolve the tree this script lives in (NOT a hardcoded /root/repo): long
+# on-chip runs launch from an immutable snapshot so live edits to the work
+# tree cannot race a lazy import mid-run (round-4 lesson: a mixed-version
+# ImportError killed an 800-iter rehearsal after its 20-min engine init)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def palette(xyz: np.ndarray) -> np.ndarray:

@@ -261,6 +261,72 @@ def load_waymo_utils(cfg_obj):
     return mod
 
 
+def load_diffusion_utils(cfg_obj):
+    """Import the reference's street_gaussian/utils/diffusion_utils.py
+    (sliding-window math: run_sequence/run_interleaved window start/step
+    clamping, nearest-train-frame condition pick, cond_indices assembly,
+    overwrite-on-overlap result placement — diffusion_utils.py:122-314)
+    with the heavy module-level deps stubbed.
+
+    The window math under test is entirely in the reference file; stubs
+    only replace plumbing (Scene/renderer/model classes are never touched
+    by the tests — instances are built with ``object.__new__`` and the
+    I/O methods monkeypatched)."""
+    install_stubs()
+    import torch
+
+    if not hasattr(sys.modules.get("torchvision", None), "transforms"):
+        class _Compose:
+            def __init__(self, fs):
+                self.fs = list(fs)
+
+            def __call__(self, x):
+                for f in self.fs:
+                    x = f(x)
+                return x
+
+        tv = sys.modules.get("torchvision") or _mod("torchvision")
+        tv.transforms = _mod(
+            "torchvision.transforms", Compose=_Compose,
+            Lambda=lambda f: f,
+            ToTensor=lambda: (lambda im: torch.as_tensor(
+                __import__("numpy").array(im), dtype=torch.float32
+            ).permute(2, 0, 1) / 255.0),
+            Resize=lambda size: (lambda x: x))
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+    # the real easyvolcap console_utils star-exports numpy/os/tqdm;
+    # diffusion_utils.py:231 uses the re-exported ``np``
+    import numpy as _np
+    cu = sys.modules.get("easyvolcap.utils.console_utils")
+    if cu is not None and not hasattr(cu, "np"):
+        cu.np = _np
+        cu.tqdm = lambda x, *a, **k: x
+
+    _noop = lambda *a, **k: None
+    for name, attrs in (
+            ("street_gaussian.models.scene", dict(Scene=object)),
+            ("street_gaussian.models.street_gaussian_renderer",
+             dict(StreetGaussianRenderer=object)),
+            ("street_gaussian.models.street_gaussian_model",
+             dict(StreetGaussianModel=object)),
+            ("street_gaussian.utils.camera_utils",
+             dict(Camera=object, make_rasterizer=None)),
+            ("video_diffusion.sample_condition",
+             dict(VideoDiffusionModel=object)),
+    ):
+        if name not in sys.modules:
+            _mod(name, **attrs)
+    sys.modules["street_gaussian.config"] = _mod(
+        "street_gaussian.config", cfg=cfg_obj)
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import importlib
+    mod = importlib.import_module("street_gaussian.utils.diffusion_utils")
+    mod = importlib.reload(mod)   # rebind cfg if a prior test set another
+    return mod
+
+
 def load_street_gaussian_util(name: str):
     """Import street_gaussian.utils.<name> (leaf modules only).
 
