@@ -115,6 +115,10 @@ def default_config() -> Config:
             "lpips_weights": "",   # npz from ops.lpips.convert_lpips_torch
             "allow_missing_lpips": False,  # waive the hard-fail when lpips
             # lambdas are >0 but weights are unavailable
+            "lpips_fallback": "none",  # "random_features": seeded random-
+            # filter VGG LPIPS stand-in when real weights are missing
+            # (restores the multi-scale term dominating the reference's
+            # novel-view loss, train.py:183-189; ops/lpips.py rationale)
             "lambda_dssim": 0.2,
             "lambda_sky": 0.0,
             "lambda_sky_scale": [],

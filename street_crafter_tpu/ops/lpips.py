@@ -112,8 +112,24 @@ def load_lpips(path: str | None = None) -> Callable | None:
     return lambda a, b: lpips_distance(params, a, b)
 
 
+def random_feature_lpips(seed: int = 0) -> Callable:
+    """Deterministic random-feature LPIPS stand-in (optim.lpips_fallback).
+
+    The reference's novel-view loss is DOMINATED by lambda_novel_lpips=1.0
+    (train.py:183-189) and real VGG weights are environment-blocked here.
+    Training with the term silently dropped is a materially different
+    objective; this stand-in restores a multi-scale perceptual-style
+    gradient using the same VGG16 topology with seeded random filters —
+    random convolutional features are a known usable perceptual distance
+    (they preserve texture/structure sensitivity; only the learned linear
+    calibration is lost). NOT the reference objective: swap in converted
+    weights (convert_lpips_torch) for parity runs."""
+    params = random_lpips_params(jax.random.PRNGKey(seed))
+    return lambda a, b: lpips_distance(params, a, b)
+
+
 def random_lpips_params(key: jax.Array) -> dict:
-    """Random-weight instance (for tests of shape/grad plumbing only)."""
+    """Random-weight instance (random_feature_lpips and plumbing tests)."""
     params = {}
     cin = 3
     keys = jax.random.split(key, len(_VGG16) + 5)

@@ -435,21 +435,28 @@ def train(cfg: Config, diffusion_hook: DiffusionHook | None = None,
         diffusion_hook = make_diffusion_hook(cfg)
     if lpips_fn is None and (cfg.optim.lambda_lpips > 0
                              or cfg.optim.lambda_novel_lpips > 0):
-        from ..ops.lpips import load_lpips
+        from ..ops.lpips import load_lpips, random_feature_lpips
         lpips_fn = load_lpips(cfg.optim.get("lpips_weights") or None)
         if lpips_fn is None:
             # A silently-dropped LPIPS term would quietly optimize a
             # different objective than the configured one; refuse unless the
             # user explicitly waives it.
-            if not cfg.optim.get("allow_missing_lpips", False):
+            if cfg.optim.get("lpips_fallback", "none") == "random_features":
+                lpips_fn = random_feature_lpips()
+                print("WARNING: no LPIPS weights; using the seeded "
+                      "random-feature stand-in (optim.lpips_fallback) — "
+                      "NOT the reference objective, see ops/lpips.py")
+            elif not cfg.optim.get("allow_missing_lpips", False):
                 raise RuntimeError(
                     "lambda_lpips/lambda_novel_lpips > 0 but no LPIPS "
                     "weights available (optim.lpips_weights unset or "
                     "missing). Convert weights with ops.lpips."
-                    "convert_lpips_torch, set the lambdas to 0, or set "
-                    "optim.allow_missing_lpips=True to waive.")
-            print("WARNING: no LPIPS weights; lpips terms disabled "
-                  "(allow_missing_lpips=True)")
+                    "convert_lpips_torch, set the lambdas to 0, set "
+                    "optim.lpips_fallback=random_features for a stand-in, "
+                    "or set optim.allow_missing_lpips=True to waive.")
+            else:
+                print("WARNING: no LPIPS weights; lpips terms disabled "
+                      "(allow_missing_lpips=True)")
     trainer = GSTrainer(cfg, scene, lpips_fn=lpips_fn)
     trainer.run(diffusion_hook=diffusion_hook)
     return trainer
