@@ -174,6 +174,20 @@ class GSTrainer:
 
         t0 = time.perf_counter()
         ema_loss = None
+        # SCT_TIMING=1: per-phase wall split every 100 iters — host batch
+        # assembly vs step dispatch vs device sync (the loss fetch blocks on
+        # the step) vs densify/log. Decomposes regressions like the r3
+        # rehearsal's 25x GS-phase slowdown without a profiler run.
+        timing = bool(os.environ.get("SCT_TIMING"))
+        tacc = {"batch": 0.0, "dispatch": 0.0, "sync": 0.0, "other": 0.0}
+        tmark = time.perf_counter()
+
+        def _lap(k):
+            nonlocal tmark
+            now = time.perf_counter()
+            tacc[k] += now - tmark
+            tmark = now
+
         for iteration in range(self.start_iter, cfg.train.iterations + 1):
             profiler.step(iteration)
             # -- diffusion distillation sampling -----------------------------
@@ -199,6 +213,8 @@ class GSTrainer:
                     if not c.metadata.get("skip_camera", False)
                     and c._image is not None]
 
+            if timing:
+                _lap("other")
             cam_info, is_novel = self.pick_camera(novel_pool)
             if is_novel:
                 camera = device_cams[("novel", cam_info.uid,
@@ -236,9 +252,13 @@ class GSTrainer:
                 camera = stack_cameras_pytree(cams)
                 batch = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *batches)
+            if timing:
+                _lap("batch")
             step = self.step_fn(is_novel, sh, with_obj_acc, batch_size=B)
             self.state, scalars = step(self.state, camera, batch,
                                        self.next_key())
+            if timing:
+                _lap("dispatch")
 
             # -- densification schedule (train.py:281-310) -------------------
             if (o.densify_from_iter <= iteration <= o.densify_until_iter
@@ -252,10 +272,24 @@ class GSTrainer:
                 self.state = reset_opacity_step(self.state)
 
             # -- logging / eval / checkpoint ---------------------------------
-            loss = float(scalars["loss"])
-            ema_loss = loss if ema_loss is None else \
-                0.6 * ema_loss + 0.4 * loss
-            if iteration % cfg.train.log_interval == 0:
+            # Fetch scalars ONLY at log points (bench.py queue-N-block-once
+            # discipline): a per-iteration float() serializes the loop on
+            # host<->device RTT whenever steps are faster than the link.
+            # SCT_TIMING decomposition (round 4, idle host): at THIS scene
+            # size the device step itself is ~82 ms (100 queued steps
+            # drained in 8.2 s at the next fetch), so per-iter fetching
+            # measured neutral — the change future-proofs faster
+            # steps/remote links and lets host-side batch prep overlap.
+            if (iteration % cfg.train.log_interval == 0
+                    or iteration == cfg.train.iterations):
+                loss = float(scalars["loss"])
+                if timing:
+                    _lap("sync")
+                ema_loss = loss if ema_loss is None else \
+                    0.6 * ema_loss + 0.4 * loss
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at iteration {iteration}")
                 vals = {k: float(v) for k, v in scalars.items()}
                 metrics.log_scalars(iteration, vals, prefix="train/")
                 if log_fn is not None:
@@ -278,8 +312,14 @@ class GSTrainer:
 
             if iteration % 100 == 0:
                 dt = time.perf_counter() - t0
-                print(f"[it {iteration}] ema_loss={ema_loss:.4f} "
-                      f"({100 / dt:.1f} it/s)", flush=True)
+                split = ""
+                if timing:
+                    split = " " + " ".join(
+                        f"{k}={v:.1f}s" for k, v in tacc.items())
+                    tacc = {k: 0.0 for k in tacc}
+                ema_s = "n/a" if ema_loss is None else f"{ema_loss:.4f}"
+                print(f"[it {iteration}] ema_loss={ema_s} "
+                      f"({100 / dt:.1f} it/s){split}", flush=True)
                 t0 = time.perf_counter()
         profiler.close()
         metrics.close()
