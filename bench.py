@@ -127,7 +127,7 @@ def time_render(flat, H, W, iters=20, **kw):
     return dt
 
 
-def scene_stats(flat, H, W, K, cam, n, kc=4096):
+def scene_stats(flat, H, W, K, cam, n, kc=4096, **kw):
     """Exact pre-drop occupancy counters for one frame."""
     from street_crafter_tpu.ops.gs_projection import project_gaussians
     from street_crafter_tpu.ops.gs_raster_fused import rasterize_pixels_fused
@@ -137,7 +137,8 @@ def scene_stats(flat, H, W, K, cam, n, kc=4096):
     out = rasterize_pixels_fused(
         proj.u, proj.v, proj.conic_a, proj.conic_b, proj.conic_c,
         jnp.zeros((n, 3)), flat.opacity, proj.depths, proj.valid,
-        proj.radii, width=W, height=H, max_per_coarse=kc, with_stats=True)
+        proj.radii, width=W, height=H, max_per_coarse=kc, with_stats=True,
+        **kw)
     return {k: int(v) for k, v in out.stats.items()}
 
 
@@ -221,6 +222,26 @@ def main():
             "psnr_vs_exact_db": round(q_auto, 1),
             "psnr_kc4096_vs_exact_db": round(q_4096, 1)}
 
+        # overflow-tile ESCALATION (round 4): base kc=4096 everywhere +
+        # the densest tiles re-rendered at kc_auto — gsplat's pay-per-tile
+        # economics (street_gaussian_renderer.py:243-280) under static
+        # shapes, vs paying kc_auto for all tiles above
+        esc_tiles = max(8, -(-int(stats["coarse_overflow_tiles"] * 1.5)
+                             // 8) * 8)
+        esc_kw = dict(escalate_tiles=esc_tiles, escalate_per_coarse=kc_auto)
+        dt_esc = time_render(flat, H, W, method="fused",
+                             recall_target=0.85, **esc_kw)
+        fast_esc = render_one(flat, H, W, K, cam, method="fused",
+                              recall_target=0.85, **esc_kw)
+        stats_esc = scene_stats(flat, H, W, K, cam, N_HEAVY, **esc_kw)
+        q_escalated = psnr(np.clip(fast_esc, 0, 1), np.clip(ref, 0, 1))
+        extra["escalated_600k"] = {
+            "base_kc": 4096, "escalate_tiles": esc_tiles,
+            "escalate_kc": kc_auto, "fps": round(1.0 / dt_esc, 2),
+            "ref": "xla-exact-dropfree",
+            "psnr_vs_exact_db": round(q_escalated, 1),
+            "raster_overflow": stats_esc}
+
         # 1M-splat post-densification regime
         N_1M = 1_000_000
         flat_1m = flat_from_pool(build_trained_like_scene(N_1M, seed=1))
@@ -238,6 +259,21 @@ def main():
             "ref": "xla-exact-dropfree",
             "psnr_vs_exact_db": round(q_1m, 1),
             "raster_overflow": stats_1m}
+
+        esc_tiles_1m = max(8, -(-int(stats_1m_probe["coarse_overflow_tiles"]
+                                     * 1.5) // 8) * 8)
+        esc_kw_1m = dict(escalate_tiles=esc_tiles_1m,
+                         escalate_per_coarse=kc_1m)
+        dt_esc_1m = time_render(flat_1m, H, W, method="fused",
+                                recall_target=0.85, **esc_kw_1m)
+        fast_esc_1m = render_one(flat_1m, H, W, K, cam, method="fused",
+                                 recall_target=0.85, **esc_kw_1m)
+        q_esc_1m = psnr(np.clip(fast_esc_1m, 0, 1), np.clip(ref_1m, 0, 1))
+        extra["escalated_1m"] = {
+            "base_kc": 4096, "escalate_tiles": esc_tiles_1m,
+            "escalate_kc": kc_1m, "fps": round(1.0 / dt_esc_1m, 2),
+            "ref": "xla-exact-dropfree",
+            "psnr_vs_exact_db": round(q_esc_1m, 1)}
     except Exception as e:  # noqa: BLE001 — report, never fail the headline
         extra["capacity_extras_error"] = repr(e)
 

@@ -99,6 +99,22 @@ def _mk_eval_render(H, W, kc, kf=None):
     return f
 
 
+def _mk_escalated_render(H, W, tiles, kc_hi):
+    import jax.numpy as jnp
+    from street_crafter_tpu.models.gs.renderer import render_flat
+    K = np.array([[1.1 * W, 0, W / 2], [0, 1.1 * W, H / 2], [0, 0, 1]],
+                 np.float32)
+
+    def f(flat, w2c):
+        out = render_flat(flat, w2c, jnp.asarray(K), jnp.zeros(3), W, H,
+                          sh_degree=3, method="fused", max_per_coarse=4096,
+                          recall_target=0.85, escalate_tiles=tiles,
+                          escalate_per_coarse=kc_hi)
+        return out["rgb"]
+
+    return f
+
+
 def _mk_train_render(H, W, kc):
     import jax
     import jax.numpy as jnp
@@ -154,6 +170,11 @@ def main():
         flat = _sds(_flat_sds(600_000), dev)
         _gate("raster_eval_1066x1600_kc16384_kf4096",
               _mk_eval_render(1066, 1600, 16384, kf=4096),
+              (flat, w2c_sds), results)
+        # overflow-tile escalation class (round 4): base 4096 + 40 dense
+        # tiles at the 600k scene's drop-free bucket
+        _gate("raster_eval_1066x1600_escalate40_kc43008",
+              _mk_escalated_render(1066, 1600, 40, 43008),
               (flat, w2c_sds), results)
 
     # ---- raster train (fwd + analytic VJP) ------------------------------

@@ -201,6 +201,13 @@ def default_config() -> Config:
             # for frames the probe did not see).
             "max_intersects_per_coarse": 4096,
             "auto_capacity": True,
+            # overflow-tile escalation (round 4): when the probe finds a
+            # MINORITY of tiles over the base capacity, re-render only
+            # those at high capacity instead of raising the class for the
+            # whole frame (ops/gs_raster_fused.py escalate_tiles) — the
+            # gsplat pay-per-tile economics under static shapes. Set False
+            # to force the old global-capacity upgrade.
+            "escalate": True,
             # training raster backend: "auto" (Pallas fused fwd + analytic
             # bwd on TPU, XLA autodiff on CPU), "fused_train", or "xla"
             "train_method": "auto",

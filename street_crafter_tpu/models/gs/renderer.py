@@ -56,6 +56,9 @@ def render_flat(
     select_method: str = "approx",  # "approx" | "exact" | "sort" coarse
     # binning (exact = top_k, drop-free up to max_per_coarse; see
     # ops/gs_raster.py)
+    escalate_tiles: int = 0,        # fused path: re-render the densest
+    escalate_per_coarse: int = 0,   # tiles at high capacity instead of
+    escalate_per_row: int | None = None,  # paying it for every tile
     extra_channels: jax.Array | None = None,  # [N, Ks] per-gaussian values
     # alpha-composited alongside color (e.g. semantic logits,
     # street_gaussian_renderer.py:195-200); XLA path only. Returned under
@@ -101,6 +104,9 @@ def render_flat(
             coarse_factor=coarse_factor, max_per_coarse=max_per_coarse,
             max_per_row=max_per_row, bf16_composite=bf16_composite,
             select_method=select_method,
+            escalate_tiles=escalate_tiles,
+            escalate_per_coarse=escalate_per_coarse,
+            escalate_per_row=escalate_per_row,
             recall_target=recall_target, with_stats=with_stats)
     elif method == "fused_train":
         # differentiable Pallas path: fused forward + analytic backward
@@ -171,6 +177,9 @@ def render_scene(
     method: str = "xla",
     max_per_coarse: int = 4096,
     max_per_row: int | None = None,
+    escalate_tiles: int = 0,              # fused eval path only: overflow-
+    escalate_per_coarse: int = 0,         # tile escalation for the
+    escalate_per_row: int | None = None,  # FOREGROUND pass (sky is sparse)
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -201,7 +210,10 @@ def render_scene(
         absgrad_sink=absgrad_sink,
         bf16_composite=bf16_composite, recall_target=recall_target,
         with_stats=with_stats, method=method,
-        max_per_coarse=max_per_coarse, max_per_row=max_per_row)
+        max_per_coarse=max_per_coarse, max_per_row=max_per_row,
+        escalate_tiles=escalate_tiles if method == "fused" else 0,
+        escalate_per_coarse=escalate_per_coarse,
+        escalate_per_row=escalate_per_row)
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(

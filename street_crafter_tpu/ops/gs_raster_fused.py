@@ -340,6 +340,8 @@ def _composite_kernel(cnt_ref, comp_ref, out_ref, acc_ref, lt_ref, *,
     static_argnames=("width", "height", "tile_size", "coarse_factor",
                      "max_per_coarse", "max_per_row", "select_method",
                      "recall_target", "bf16_composite", "with_stats",
+                     "escalate_tiles", "escalate_per_coarse",
+                     "escalate_per_row",
                      "_debug_no_kernel", "_debug_phase1"))
 def rasterize_pixels_fused(
     u: jax.Array,          # [N] pixel x
@@ -366,6 +368,20 @@ def rasterize_pixels_fused(
     # matmuls; the elementwise chain stays f32 (log1p near alpha=1 needs
     # f32, and Mosaic lacks bf16 compares/log1p on v5e)
     with_stats: bool = False,   # capacity-overflow counters
+    # --- overflow-tile escalation (round 4) ---------------------------
+    # gsplat sizes its worklists per frame and pays per tile exactly what
+    # the tile holds (street_gaussian_renderer.py:243-280). Static-shape
+    # XLA cannot, and paying a dense scene's coarse_max for EVERY tile
+    # collapsed drop-free dense renders to ~9 FPS (kc=43008 for all 117
+    # tiles when only 25 overflow kc=4096). Escalation restores gsplat's
+    # economics under static shapes: render at the base capacity, then
+    # re-select/compact/composite ONLY the ``escalate_tiles`` densest
+    # tiles at ``escalate_per_coarse`` and scatter their finished pixel
+    # blocks over the base image. Tiles whose exact count fits the base
+    # capacity keep their base render (the scatter drops them).
+    escalate_tiles: int = 0,          # static budget of dense tiles (0=off)
+    escalate_per_coarse: int = 0,     # capacity for escalated tiles
+    escalate_per_row: int | None = None,  # their per-16px-row capacity
     _debug_no_kernel: bool = False,   # bench: run everything but kernels
     _debug_phase1: bool = False,      # bench: compaction kernel only
 ) -> RasterOutput:
@@ -386,43 +402,11 @@ def rasterize_pixels_fused(
     y1 = v + radii
     depth_key = jnp.where(valid, depths, _INF)
 
-    # coarse binning (phase 1 of ops/gs_raster.py), vectorized over tiles
-    tyc, txc = jnp.meshgrid(jnp.arange(THc, dtype=jnp.float32),
-                            jnp.arange(TWc, dtype=jnp.float32),
-                            indexing="ij")
-    cx0 = (txc.reshape(-1) * cts)[:, None]
-    cy0 = (tyc.reshape(-1) * cts)[:, None]
-    stats = None
-    if with_stats:
-        inter_s = ((x0[None, :] < cx0 + cts) & (x1[None, :] > cx0)
-                   & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0)
-                   & (depth_key[None, :] < _INF))
-        counts_c = inter_s.sum(axis=1)
-        stats = {
-            "coarse_max": counts_c.max(),
-            "coarse_overflow_tiles": (counts_c > kc).sum(),
-            "coarse_dropped": jnp.maximum(counts_c - kc, 0).sum(),
-        }
-    inter = ((x0[None, :] < cx0 + cts) & (x1[None, :] > cx0)
-             & (y0[None, :] < cy0 + cts) & (y1[None, :] > cy0))
-    key = jnp.where(inter, depth_key[None, :], _INF)
-    if select_method == "exact":
-        neg_top, idxc = jax.lax.top_k(-key, min(kc, n))
-        cand_depth = -neg_top
-    else:
-        cand_depth, idxc = jax.lax.approx_min_k(
-            key, min(kc, n), recall_target=recall_target,
-            aggregate_to_topk=True)
-    if cand_depth.shape[1] < kc:   # pad to a _KB multiple
-        pad = kc - cand_depth.shape[1]
-        cand_depth = jnp.pad(cand_depth, ((0, 0), (0, pad)),
-                             constant_values=_INF)
-        idxc = jnp.pad(idxc, ((0, 0), (0, pad)))
-
-    # packed gather in the kernel's Cholesky layout (see _composite_kernel):
-    # conic M = [[ca, cb], [cb, cc]] = L L^T with L = [[l11, 0], [l21, l22]]
-    # so sigma = 0.5*((l11 dx + l21 dy)^2 + (l22 dy)^2) — evaluated by MXU
-    # matmul in the kernel, cancellation-free
+    # packed attribute table in the kernel's Cholesky layout (see
+    # _composite_kernel): conic M = [[ca, cb], [cb, cc]] = L L^T with
+    # L = [[l11, 0], [l21, l22]] so sigma = 0.5*((l11 dx + l21 dy)^2 +
+    # (l22 dy)^2) — evaluated by MXU matmul in the kernel,
+    # cancellation-free
     l11 = jnp.sqrt(jnp.maximum(conic_a, 1e-12))
     l21 = conic_b / l11
     l22 = jnp.sqrt(jnp.maximum(conic_c - l21 * l21, 1e-12))
@@ -431,24 +415,69 @@ def rasterize_pixels_fused(
     attrs = jnp.concatenate(
         [jnp.stack([l11, l21, u, l22, v, lopa], -1), colors,
          jnp.stack([y0, y1], -1)], -1)
-    cand = attrs[idxc]                                    # [Tc, kc, 8+C]
-    # shift the constant terms to coarse-tile-local pixel coordinates
-    # (global 1600-px coords would cost ~3 digits of f32 in the kernel)
-    ctrx = (jnp.arange(Tc) % TWc).astype(jnp.float32) * cts + 0.5 * cts
-    ctry = (jnp.arange(Tc) // TWc).astype(jnp.float32) * cts + 0.5 * cts
-    ul = cand[..., 2] - ctrx[:, None]
-    vl = cand[..., 4] - ctry[:, None]
-    c1 = -(cand[..., 0] * ul + cand[..., 1] * vl)
-    c2 = -(cand[..., 3] * vl)
-    # lane-major mask columns for the compaction kernel: (y0, y1, depth, 0)
-    yb = jnp.stack([cand[..., 6 + C], cand[..., 7 + C], cand_depth,
-                    jnp.zeros_like(cand_depth)], axis=1)   # [Tc, 4, kc]
-    # columns: [l11, l21, c1, l22, c2, lopa, colors(C)]
-    cand = jnp.concatenate(
-        [cand[..., 0:2], c1[..., None], cand[..., 3:4], c2[..., None],
-         cand[..., 5:6 + C]], -1)
     A = 6 + C
     assert A >= 8, "kernel matmul reads candidate columns 0..7"
+
+    def select_pack(cx0_, cy0_, kc_):
+        """Coarse depth-selection + packed gather for one tile set: tiles
+        given by their pixel origins [T, 1]. Returns (cand [T, kc_, A],
+        yb [T, 4, kc_] lane-major mask columns, key [T, N])."""
+        inter_ = ((x0[None, :] < cx0_ + cts) & (x1[None, :] > cx0_)
+                  & (y0[None, :] < cy0_ + cts) & (y1[None, :] > cy0_))
+        key_ = jnp.where(inter_, depth_key[None, :], _INF)
+        if select_method == "exact":
+            neg_top, idxc = jax.lax.top_k(-key_, min(kc_, n))
+            cand_depth = -neg_top
+        else:
+            cand_depth, idxc = jax.lax.approx_min_k(
+                key_, min(kc_, n), recall_target=recall_target,
+                aggregate_to_topk=True)
+        if cand_depth.shape[1] < kc_:   # pad to a _KB multiple
+            pad = kc_ - cand_depth.shape[1]
+            cand_depth = jnp.pad(cand_depth, ((0, 0), (0, pad)),
+                                 constant_values=_INF)
+            idxc = jnp.pad(idxc, ((0, 0), (0, pad)))
+        cnd = attrs[idxc]                                 # [T, kc_, 8+C]
+        # shift the constant terms to coarse-tile-local pixel coordinates
+        # (global 1600-px coords would cost ~3 digits of f32 in the kernel)
+        ctrx = cx0_[:, 0] + 0.5 * cts
+        ctry = cy0_[:, 0] + 0.5 * cts
+        ul = cnd[..., 2] - ctrx[:, None]
+        vl = cnd[..., 4] - ctry[:, None]
+        c1 = -(cnd[..., 0] * ul + cnd[..., 1] * vl)
+        c2 = -(cnd[..., 3] * vl)
+        # lane-major mask columns for the compaction kernel:
+        # (y0, y1, depth, 0). y bounds are shifted to TILE-LOCAL coords
+        # (the kernel is then run with ty0=0 for every program — see
+        # compose(): escalated tiles' grid indices are ranks, not tile
+        # ids, so the kernel cannot derive tile origins from them)
+        yb_ = jnp.stack([cnd[..., 6 + C] - cy0_, cnd[..., 7 + C] - cy0_,
+                         cand_depth,
+                         jnp.zeros_like(cand_depth)], axis=1)  # [T, 4, kc_]
+        # columns: [l11, l21, c1, l22, c2, lopa, colors(C)]
+        cnd = jnp.concatenate(
+            [cnd[..., 0:2], c1[..., None], cnd[..., 3:4], c2[..., None],
+             cnd[..., 5:6 + C]], -1)
+        return cnd, yb_, key_
+
+    # coarse binning (phase 1 of ops/gs_raster.py), vectorized over tiles
+    tyc, txc = jnp.meshgrid(jnp.arange(THc, dtype=jnp.float32),
+                            jnp.arange(TWc, dtype=jnp.float32),
+                            indexing="ij")
+    cx0 = (txc.reshape(-1) * cts)[:, None]
+    cy0 = (tyc.reshape(-1) * cts)[:, None]
+    cand, yb, key = select_pack(cx0, cy0, kc)
+    counts_c = None
+    if with_stats or escalate_tiles > 0:
+        counts_c = (key < _INF).sum(axis=1)               # exact per tile
+    stats = None
+    if with_stats:
+        stats = {
+            "coarse_max": counts_c.max(),
+            "coarse_overflow_tiles": (counts_c > kc).sum(),
+            "coarse_dropped": jnp.maximum(counts_c - kc, 0).sum(),
+        }
+    cand_depth = yb[:, 2, :]
 
     # per-row capacity for the compaction kernel (a 16px row intersects
     # ~kc/8 of its coarse tile's candidates); VMEM-capped, see
@@ -458,10 +487,10 @@ def rasterize_pixels_fused(
     else:
         kf = default_row_capacity(kc)
     if with_stats:
-        y0g = yb[:, 0, :]                                 # [Tc, kc]
+        y0g = yb[:, 0, :]                                 # [Tc, kc] tile-local
         y1g = yb[:, 1, :]
-        ry0s = cy0.reshape(-1, 1, 1) + (jnp.arange(CF, dtype=jnp.float32)
-                                        * ts).reshape(1, -1, 1)
+        ry0s = (jnp.arange(CF, dtype=jnp.float32)
+                * ts).reshape(1, -1, 1)                   # tile-local rows
         rinter = ((y0g[:, None, :] < ry0s + ts) & (y1g[:, None, :] > ry0s)
                   & (cand_depth[:, None, :] < _INF))      # [Tc, CF, kc]
         rcounts = rinter.sum(-1)
@@ -477,48 +506,88 @@ def rasterize_pixels_fused(
 
     interpret = jax.default_backend() == "cpu"   # CPU tests
 
-    def _run_compact(cand_, yb_):
-        return run_compact_chunked(cand_, yb_, Tc=Tc, kc=kc, kf=kf, A=A,
-                                   ts=ts, CF=CF, TWc=TWc,
-                                   interpret=interpret)
-
     # SPMD bridge: under a sharded jit (camera-DP batch render) the vmapped
     # camera axis enters the shard_map via vmap(spmd_axis_name=...); the
     # wrapped leading dim here is Tc, NOT a batch axis — guard misuse
     from ..parallel.kernel_shard import assert_no_context_axes, wrap_kernel
     assert_no_context_axes("gs_raster_fused")
-    comp, cnt = wrap_kernel(_run_compact, in_ranks=(3, 3),
-                            out_ranks=(4, 3))(cand, yb)
-    cnt = cnt[:, 0, :]                                     # [Tc, CF]
+
+    def compose(cand_, yb_, Tn, kc_, kf_, want_phase1=False):
+        """Compaction + composite kernels over one tile set -> packed
+        [Tn, CF, 8, P] pixel blocks (rows: C colors, then alpha)."""
+        def _run_compact(c_, y_):
+            # TWc=Tn makes the kernel's tile row index (c // TWc) zero for
+            # every program: y bounds arrive TILE-LOCAL from select_pack
+            return run_compact_chunked(c_, y_, Tc=Tn, kc=kc_, kf=kf_, A=A,
+                                       ts=ts, CF=CF, TWc=Tn,
+                                       interpret=interpret)
+
+        comp, cnt = wrap_kernel(_run_compact, in_ranks=(3, 3),
+                                out_ranks=(4, 3))(cand_, yb_)
+        cnt = cnt[:, 0, :]                                 # [Tn, CF]
+        if want_phase1:
+            return comp, cnt
+
+        composite = functools.partial(
+            _composite_kernel, kf=kf_, A=A, C=C, ts=ts, cts=cts, TWc=TWc,
+            bf16_prefix=bf16_composite)
+
+        def _run_composite(cnt_, comp_):
+            return pl.pallas_call(
+                composite,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(Tn, CF),
+                    in_specs=[pl.BlockSpec((1, 1, kf_, A),
+                                           lambda c, f, cnt: (c, f, 0, 0))],
+                    out_specs=pl.BlockSpec((1, 1, 8, P),
+                                           lambda c, f, cnt: (c, f, 0, 0)),
+                    scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
+                                    pltpu.VMEM((8, P), jnp.float32)]),
+                out_shape=jax.ShapeDtypeStruct((Tn, CF, 8, P), jnp.float32),
+                interpret=interpret,
+            )(cnt_, comp_)
+
+        return wrap_kernel(_run_composite, in_ranks=(2, 4),
+                           out_ranks=4)(cnt.reshape(Tn, CF), comp)
 
     if _debug_phase1:
+        comp, cnt = compose(cand, yb, Tc, kc, kf, want_phase1=True)
         z = jnp.full((height, width, C),
                      jnp.sum(cnt).astype(jnp.float32) * 1e-20
                      + jnp.sum(comp[:, :, 0, 0]) * 1e-20)
         return RasterOutput(colors=z, alpha=z[..., 0], stats=stats)
 
-    composite = functools.partial(
-        _composite_kernel, kf=kf, A=A, C=C, ts=ts, cts=cts, TWc=TWc,
-        bf16_prefix=bf16_composite)
+    packed = compose(cand, yb, Tc, kc, kf)
 
-    def _run_composite(cnt_, comp_):
-        return pl.pallas_call(
-            composite,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(Tc, CF),
-                in_specs=[pl.BlockSpec((1, 1, kf, A),
-                                       lambda c, f, cnt: (c, f, 0, 0))],
-                out_specs=pl.BlockSpec((1, 1, 8, P),
-                                       lambda c, f, cnt: (c, f, 0, 0)),
-                scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
-                                pltpu.VMEM((8, P), jnp.float32)]),
-            out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
-            interpret=interpret,
-        )(cnt_, comp_)
-
-    packed = wrap_kernel(_run_composite, in_ranks=(2, 4),
-                         out_ranks=4)(cnt.reshape(Tc, CF), comp)
+    if escalate_tiles > 0:
+        # second pass over the OVF densest tiles at high capacity; finished
+        # pixel blocks replace the base tiles' blocks. Tiles that fit the
+        # base capacity keep the base render (their scatter index is pushed
+        # out of range -> dropped).
+        OVF = min(escalate_tiles, Tc)
+        kc_hi = round_coarse_capacity(min(max(escalate_per_coarse, kc), n))
+        if escalate_per_row is not None:
+            kf_hi = min(kc_hi, max(_KB, -(-escalate_per_row // _KB) * _KB))
+        else:
+            kf_hi = default_row_capacity(kc_hi)
+        top_counts, top_ids = jax.lax.top_k(counts_c, OVF)
+        esc_valid = top_counts > kc                        # [OVF]
+        cand_hi, yb_hi, _ = select_pack(cx0[top_ids], cy0[top_ids], kc_hi)
+        packed_hi = compose(cand_hi, yb_hi, OVF, kc_hi, kf_hi)
+        ids_eff = jnp.where(esc_valid, top_ids, Tc)        # Tc = dropped
+        packed = packed.at[ids_eff].set(packed_hi, mode="drop")
+        if with_stats:
+            stats = dict(stats or {})
+            stats["escalated_tiles"] = esc_valid.sum()
+            # residual coarse drops with escalation in effect: escalated
+            # tiles clamp at kc_hi, every other tile at the base kc
+            over_all = jnp.maximum(counts_c - kc, 0).sum()
+            over_top = jnp.where(
+                esc_valid, jnp.maximum(top_counts - kc, 0), 0).sum()
+            over_hi = jnp.where(
+                esc_valid, jnp.maximum(top_counts - kc_hi, 0), 0).sum()
+            stats["coarse_dropped_escalated"] = over_all - over_top + over_hi
 
     # [Tc, CF(fy), 8, ts*cts] -> [H, W, 8] -> crop
     img = packed.reshape(THc, TWc, CF, 8, ts, cts)

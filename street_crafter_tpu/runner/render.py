@@ -38,34 +38,62 @@ def load_trained_state(cfg: Config, scene: Scene):
 
 
 def probe_coarse_capacity(cfg: Config, scene: Scene, params,
-                          infos, cams, max_probes: int = 3) -> int | None:
-    """Pick the coarse-tile candidate capacity for a trajectory from a
-    stats probe (VERDICT r2 #4). Renders up to ``max_probes`` cameras
-    spread over the trajectory with ``with_stats=True`` (exact pre-drop
-    per-tile counts, ops/gs_raster.py), then rounds the observed maximum
-    up to a bucket (pick_coarse_capacity). Returns None when auto sizing
-    is disabled. One probe costs one stats render; the bucket keeps one
-    compiled executable per capacity class instead of per scene."""
+                          infos, cams, max_probes: int = 3) -> dict:
+    """Pick the raster capacity strategy for a trajectory from a stats
+    probe (VERDICT r2 #4 / round 4 escalation). Renders up to
+    ``max_probes`` cameras spread over the trajectory with
+    ``with_stats=True`` (exact pre-drop per-tile counts, ops/gs_raster.py)
+    and returns kwargs for ``make_eval_render``:
+
+    - every probed tile fits the configured base capacity -> plain render
+      at the config floor;
+    - a MINORITY of tiles overflow (the post-densification norm: dense
+      facades, sparse sky/road) -> keep the base capacity and ESCALATE the
+      overflowing tiles (ops/gs_raster_fused.py escalate_tiles): gsplat's
+      pay-per-tile economics instead of paying coarse_max for all tiles;
+    - a majority overflow -> raise the capacity class globally (escalating
+      most of the frame would render it twice).
+
+    Returns {} when auto sizing is disabled. One probe costs one stats
+    render; capacity buckets keep one compiled executable per class."""
     if not bool(cfg.render.get("auto_capacity", True)) or not infos:
-        return None
+        return {}
     from ..ops.gs_raster import pick_coarse_capacity
     stats_render = make_eval_render(cfg, scene.meta,
                                     cfg.model.gaussian.sh_degree,
                                     with_stats=True)
     picks = np.linspace(0, len(infos) - 1,
                         min(max_probes, len(infos))).astype(int)
-    cmax = 0
-    for i in picks:
-        out = stats_render(params, cams[i], scene.batch_for(infos[i]))
-        cmax = max(cmax, int(out["raster_stats"]["coarse_max"]))
     # the configured capacity floors the pick (ADVICE r3): a sparse probe
     # frame must not downgrade denser un-probed frames below the value the
     # old fixed default handled, and a user-raised config value wins
     floor = int(cfg.render.get("max_intersects_per_coarse", 4096))
+    cmax, ovf = 0, 0
+    for i in picks:
+        out = stats_render(params, cams[i], scene.batch_for(infos[i]))
+        st = out["raster_stats"]
+        cmax = max(cmax, int(st["coarse_max"]))
+        # overflow counted vs the BASE capacity (the stats render runs at
+        # the config floor)
+        ovf = max(ovf, int(st["coarse_overflow_tiles"]))
     kc = max(pick_coarse_capacity(cmax), floor)
-    print(f"auto capacity: coarse_max {cmax} over {len(picks)} probes "
-          f"-> kc {kc} (config floor {floor})")
-    return kc
+    if kc <= floor:
+        print(f"auto capacity: coarse_max {cmax} over {len(picks)} probes "
+              f"-> kc {floor} (config floor), no escalation needed")
+        return {"max_per_coarse": floor}
+    cts = int(cfg.render.tile_size) * 8
+    Tc = (-(-cams[picks[0]].width // cts)) * (-(-cams[picks[0]].height // cts))
+    if bool(cfg.render.get("escalate", True)) and ovf <= Tc // 2:
+        # budget: observed overflow count + headroom for denser un-probed
+        # frames, rounded to a bucket of 8 (one executable per bucket)
+        tiles = max(8, -(-int(ovf * 1.5) // 8) * 8)
+        print(f"auto capacity: coarse_max {cmax}, {ovf}/{Tc} tiles over "
+              f"the {floor} floor -> escalate {tiles} tiles at kc {kc}")
+        return {"max_per_coarse": floor, "escalate_tiles": tiles,
+                "escalate_per_coarse": kc}
+    print(f"auto capacity: coarse_max {cmax}, {ovf}/{Tc} tiles overflow "
+          f"-> global kc {kc} (config floor {floor})")
+    return {"max_per_coarse": kc}
 
 
 def render_trajectory(cfg: Config) -> dict[str, str]:
@@ -78,10 +106,9 @@ def render_trajectory(cfg: Config) -> dict[str, str]:
 
     infos = scene.info.train_cameras + scene.info.test_cameras
     cams = scene.train_cameras + scene.test_cameras
-    kc = probe_coarse_capacity(cfg, scene, state.params, infos, cams)
+    caps = probe_coarse_capacity(cfg, scene, state.params, infos, cams)
     eval_render = make_eval_render(cfg, scene.meta,
-                                   cfg.model.gaussian.sh_degree,
-                                   max_per_coarse=kc)
+                                   cfg.model.gaussian.sh_degree, **caps)
     order = np.argsort([i.uid for i in infos])
     psnrs = []
     for idx in order:
@@ -105,12 +132,11 @@ def render_novel_view(cfg: Config) -> dict[str, str]:
     videos = {}
     shifts = sorted({i.metadata["novel_view_id"]
                      for i in scene.info.novel_view_cameras})
-    kc = probe_coarse_capacity(cfg, scene, state.params,
-                               scene.info.novel_view_cameras,
-                               scene.novel_cameras)
+    caps = probe_coarse_capacity(cfg, scene, state.params,
+                                 scene.info.novel_view_cameras,
+                                 scene.novel_cameras)
     eval_render = make_eval_render(cfg, scene.meta,
-                                   cfg.model.gaussian.sh_degree,
-                                   max_per_coarse=kc)
+                                   cfg.model.gaussian.sh_degree, **caps)
     for shift in shifts:
         out_dir = os.path.join(scene.model_path,
                                f"novel_view_{it}_shift_{shift:.2f}")

@@ -192,3 +192,86 @@ def test_fused_multichunk_early_exit_parity():
                                        select_method="exact")
     np.testing.assert_allclose(np.asarray(out_big.colors),
                                np.asarray(out_small.colors), atol=1e-5)
+
+
+def make_clustered_scene(W, H, n_dense, n_sparse, seed=8):
+    """Dense cluster confined to the LEFT coarse tile (x < 128), sparse
+    splats everywhere else — the post-densification regime escalation
+    targets: one tile's exact count far above the base capacity while the
+    rest fit comfortably."""
+    rng = np.random.default_rng(seed)
+    n = n_dense + n_sparse
+    u = np.concatenate([rng.uniform(8, 120, n_dense),
+                        rng.uniform(128, W - 4, n_sparse)]).astype(np.float32)
+    v = rng.uniform(0, H, n).astype(np.float32)
+    sc = rng.uniform(1.0, 4.0, n).astype(np.float32)
+    ca = 1.0 / sc ** 2
+    cc = 1.0 / (sc * 0.8) ** 2
+    cb = np.zeros(n, np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    opa = rng.uniform(0.05, 0.4, n).astype(np.float32)   # low: no early exit
+    dep = rng.uniform(1, 50, n).astype(np.float32)
+    val = np.ones(n, bool)
+    rad = 3 * sc
+    return [jnp.asarray(x) for x in (u, v, ca, cb, cc, cols, opa, dep, val,
+                                     rad)]
+
+
+def test_fused_escalation_matches_exact():
+    """Overflow-tile escalation (round 4): base capacity drops most of the
+    dense tile's candidates; escalating that one tile at high capacity must
+    recover the exact drop-free render while the sparse tile keeps its base
+    result. Budget of 2 with only 1 overflowing tile: exactly 1 escalates."""
+    W, H = 256, 128          # two 128px coarse tiles side by side
+    n_dense, n_sparse = 2200, 300
+    args = make_clustered_scene(W, H, n_dense, n_sparse)
+    n = n_dense + n_sparse
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+
+    base = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                  coarse_factor=8, max_per_coarse=512,
+                                  max_per_row=512, select_method="exact",
+                                  with_stats=True)
+    esc = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=512,
+                                 max_per_row=512, select_method="exact",
+                                 escalate_tiles=2, escalate_per_coarse=4096,
+                                 escalate_per_row=4096, with_stats=True)
+
+    def psnr(a, b):
+        mse = float(jnp.mean((a - b) ** 2))
+        return -10 * np.log10(mse + 1e-12)
+
+    q_base = psnr(base.colors, ref.colors)
+    q_esc = psnr(esc.colors, ref.colors)
+    assert int(base.stats["coarse_dropped"]) > 1000       # base really drops
+    assert q_base < 40.0, q_base                          # and it shows
+    assert q_esc > 60.0, (q_esc, q_base)                  # escalation fixes it
+    # 1e-2: at 2200 overlapping low-opacity splats the fused kernel's
+    # log-space transmittance differs from the XLA cumprod by up to ~6e-3
+    # even at FULL capacity (verified: a kc=4096 plain fused render shows
+    # the identical max deviation) — not an escalation artifact
+    np.testing.assert_allclose(np.asarray(esc.alpha), np.asarray(ref.alpha),
+                               atol=1e-2)
+    assert int(esc.stats["escalated_tiles"]) == 1         # only the dense one
+    assert int(esc.stats["coarse_dropped_escalated"]) == 0
+
+
+def test_fused_escalation_noop_when_nothing_overflows():
+    """With every tile under the base capacity, the escalated render must
+    be bit-identical to the plain fused render (all scatter indices drop)."""
+    W, H, n = 256, 128, 900
+    args = make_scene(n, W, H, seed=9)
+    plain = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                   coarse_factor=8, max_per_coarse=1024,
+                                   max_per_row=1024, select_method="exact")
+    esc = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=1024,
+                                 max_per_row=1024, select_method="exact",
+                                 escalate_tiles=2, escalate_per_coarse=2048,
+                                 with_stats=True)
+    np.testing.assert_array_equal(np.asarray(esc.colors),
+                                  np.asarray(plain.colors))
+    assert int(esc.stats["escalated_tiles"]) == 0
