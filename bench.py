@@ -223,11 +223,18 @@ def main():
             "psnr_kc4096_vs_exact_db": round(q_4096, 1)}
 
         # overflow-tile ESCALATION (round 4): base kc=4096 everywhere +
-        # the densest tiles re-rendered at kc_auto — gsplat's pay-per-tile
-        # economics (street_gaussian_renderer.py:243-280) under static
-        # shapes, vs paying kc_auto for all tiles above
-        esc_tiles = max(8, -(-int(stats["coarse_overflow_tiles"] * 1.5)
-                             // 8) * 8)
+        # the worst-deficit tiles re-rendered at kc_auto — gsplat's
+        # pay-per-tile economics (street_gaussian_renderer.py:243-280)
+        # under static shapes, vs paying kc_auto for all tiles above.
+        # Budget from the combined coarse+row candidate count (row-aware
+        # escalation score, ops/gs_raster_fused.py)
+        Tc_headline = (-(-W // 128)) * (-(-H // 128))
+        esc_tiles = max(8, -(-int(stats.get("escalation_candidate_tiles",
+                                            stats["coarse_overflow_tiles"])
+                                  * 1.5) // 8) * 8)
+        # the probe's own policy threshold: past a majority, escalation
+        # re-renders most of the frame and a global upgrade wins
+        esc_tiles = min(esc_tiles, -(-(Tc_headline // 2) // 8) * 8)
         esc_kw = dict(escalate_tiles=esc_tiles, escalate_per_coarse=kc_auto)
         dt_esc = time_render(flat, H, W, method="fused",
                              recall_target=0.85, **esc_kw)
@@ -260,8 +267,11 @@ def main():
             "psnr_vs_exact_db": round(q_1m, 1),
             "raster_overflow": stats_1m}
 
-        esc_tiles_1m = max(8, -(-int(stats_1m_probe["coarse_overflow_tiles"]
-                                     * 1.5) // 8) * 8)
+        esc_tiles_1m = max(8, -(-int(
+            stats_1m_probe.get("escalation_candidate_tiles",
+                               stats_1m_probe["coarse_overflow_tiles"])
+            * 1.5) // 8) * 8)
+        esc_tiles_1m = min(esc_tiles_1m, -(-(Tc_headline // 2) // 8) * 8)
         esc_kw_1m = dict(escalate_tiles=esc_tiles_1m,
                          escalate_per_coarse=kc_1m)
         dt_esc_1m = time_render(flat_1m, H, W, method="fused",

@@ -299,6 +299,26 @@ def rasterize_pixels(
             "fine_overflow_tiles": (counts_f > kf).sum(),
             "fine_dropped": jnp.maximum(counts_f - kf, 0).sum(),
         }
+        # FUSED-path row occupancy (16px x 128px strips at the fused
+        # kernel's default row capacity for this kc): the stats probe runs
+        # on this XLA path but sizes overflow-tile ESCALATION for the
+        # fused render path (runner/render.py probe_coarse_capacity), whose
+        # second drop site is the per-row compaction, not fine tiles.
+        # Row counts use the surviving coarse candidates — exact for tiles
+        # whose total fits kc; overflowing tiles are caught by the coarse
+        # term of the candidate score either way.
+        from .gs_raster_fused import default_row_capacity  # no cycle: lazy
+        rty0 = (tyc2.reshape(-1, 1) * cts
+                + jnp.arange(CF, dtype=jnp.float32).reshape(1, -1)
+                * ts)[..., None]                          # [Tc, CF, 1]
+        rin = ((cb[:, None, :, 2] < rty0 + ts) & (cb[:, None, :, 3] > rty0)
+               & alive[:, None, :])                       # [Tc, CF, kc]
+        rcounts_fused = rin.sum(-1)
+        kf_fused = default_row_capacity(kc)
+        stats["row_max"] = rcounts_fused.max()
+        stats["escalation_candidate_tiles"] = (
+            jnp.maximum(counts_c / kc, rcounts_fused.max(-1) / kf_fused)
+            > 1.0).sum()
 
     # reshape to coarse rows for the fine-stage scan
     cand_rows = cand_all.reshape(THc, TWc, kc, A)

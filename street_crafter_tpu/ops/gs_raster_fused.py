@@ -486,7 +486,12 @@ def rasterize_pixels_fused(
         kf = min(kc, max(_KB, -(-max_per_row // _KB) * _KB))
     else:
         kf = default_row_capacity(kc)
-    if with_stats:
+    row_max_t = None
+    if with_stats or escalate_tiles > 0:
+        # per-(tile, row) intersect counts over the SELECTED candidates:
+        # exact for tiles whose total fits kc (complete candidate set); an
+        # undercount for coarse-overflowing tiles, which the coarse term of
+        # the escalation score already captures
         y0g = yb[:, 0, :]                                 # [Tc, kc] tile-local
         y1g = yb[:, 1, :]
         ry0s = (jnp.arange(CF, dtype=jnp.float32)
@@ -494,9 +499,14 @@ def rasterize_pixels_fused(
         rinter = ((y0g[:, None, :] < ry0s + ts) & (y1g[:, None, :] > ry0s)
                   & (cand_depth[:, None, :] < _INF))      # [Tc, CF, kc]
         rcounts = rinter.sum(-1)
+        row_max_t = rcounts.max(-1)                       # [Tc]
+    if with_stats:
         stats = dict(stats or {})
         stats["row_max"] = rcounts.max()
         stats["row_dropped"] = jnp.maximum(rcounts - kf, 0).sum()
+        # tiles the escalation score would pick: coarse OR row overflow
+        stats["escalation_candidate_tiles"] = (
+            jnp.maximum(counts_c / kc, row_max_t / kf) > 1.0).sum()
 
     P = ts * cts
     if _debug_no_kernel:
@@ -571,8 +581,18 @@ def rasterize_pixels_fused(
             kf_hi = min(kc_hi, max(_KB, -(-escalate_per_row // _KB) * _KB))
         else:
             kf_hi = default_row_capacity(kc_hi)
-        top_counts, top_ids = jax.lax.top_k(counts_c, OVF)
-        esc_valid = top_counts > kc                        # [OVF]
+        # escalation score: worst capacity deficit across BOTH drop sites —
+        # the coarse depth-selection (counts_c vs kc) and the per-16px-row
+        # compaction (row_max_t vs kf). A tile whose total fits kc can
+        # still drop the far tail of a dense row at kf (the measured 6.8 dB
+        # residual vs global high capacity on the 600k headline scene was
+        # exactly these row drops, BASELINE.md); the escalated pass's kf_hi
+        # clears them
+        score = jnp.maximum(counts_c.astype(jnp.float32) / kc,
+                            row_max_t.astype(jnp.float32) / kf)
+        top_scores, top_ids = jax.lax.top_k(score, OVF)
+        top_counts = counts_c[top_ids]
+        esc_valid = top_scores > 1.0                       # [OVF]
         cand_hi, yb_hi, _ = select_pack(cx0[top_ids], cy0[top_ids], kc_hi)
         packed_hi = compose(cand_hi, yb_hi, OVF, kc_hi, kf_hi)
         ids_eff = jnp.where(esc_valid, top_ids, Tc)        # Tc = dropped

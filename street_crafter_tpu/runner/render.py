@@ -68,32 +68,51 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
     # frame must not downgrade denser un-probed frames below the value the
     # old fixed default handled, and a user-raised config value wins
     floor = int(cfg.render.get("max_intersects_per_coarse", 4096))
-    cmax, ovf = 0, 0
+    from ..ops.gs_raster_fused import _KF_CAP, default_row_capacity
+    cmax, ovf, rmax = 0, 0, 0
     for i in picks:
         out = stats_render(params, cams[i], scene.batch_for(infos[i]))
         st = out["raster_stats"]
         cmax = max(cmax, int(st["coarse_max"]))
-        # overflow counted vs the BASE capacity (the stats render runs at
-        # the config floor)
-        ovf = max(ovf, int(st["coarse_overflow_tiles"]))
+        # escalation candidates counted vs the BASE capacities (the stats
+        # render runs at the config floor): tiles over the coarse capacity
+        # OR with a 16px row over the row capacity (both drop sites the
+        # escalated pass clears, ops/gs_raster_fused.py)
+        ovf = max(ovf, int(st.get("escalation_candidate_tiles",
+                                  st["coarse_overflow_tiles"])))
+        rmax = max(rmax, int(st.get("row_max", 0)))
     kc = max(pick_coarse_capacity(cmax), floor)
-    if kc <= floor:
+    # a dense 16px row can overflow the fused kernel's per-row compaction
+    # even when its tile's total fits kc; the escalated pass's row capacity
+    # (VMEM-capped at _KF_CAP) clears that second drop site
+    row_need = rmax > default_row_capacity(floor)
+    if kc <= floor and not row_need:
         print(f"auto capacity: coarse_max {cmax} over {len(picks)} probes "
               f"-> kc {floor} (config floor), no escalation needed")
         return {"max_per_coarse": floor}
     cts = int(cfg.render.tile_size) * 8
     Tc = (-(-cams[picks[0]].width // cts)) * (-(-cams[picks[0]].height // cts))
-    if bool(cfg.render.get("escalate", True)) and ovf <= Tc // 2:
+    if bool(cfg.render.get("escalate", True)) and 0 < ovf <= Tc // 2:
         # budget: observed overflow count + headroom for denser un-probed
         # frames, rounded to a bucket of 8 (one executable per bucket)
         tiles = max(8, -(-int(ovf * 1.5) // 8) * 8)
-        print(f"auto capacity: coarse_max {cmax}, {ovf}/{Tc} tiles over "
-              f"the {floor} floor -> escalate {tiles} tiles at kc {kc}")
-        return {"max_per_coarse": floor, "escalate_tiles": tiles,
+        caps = {"max_per_coarse": floor, "escalate_tiles": tiles,
                 "escalate_per_coarse": kc}
-    print(f"auto capacity: coarse_max {cmax}, {ovf}/{Tc} tiles overflow "
-          f"-> global kc {kc} (config floor {floor})")
-    return {"max_per_coarse": kc}
+        if row_need:
+            caps["escalate_per_row"] = _KF_CAP
+        print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, "
+              f"{ovf}/{Tc} tiles over the {floor} floor -> escalate "
+              f"{tiles} tiles at kc {kc}"
+              + (f" / row {_KF_CAP}" if row_need else ""))
+        return caps
+    caps = {"max_per_coarse": kc}
+    if row_need and default_row_capacity(kc) < min(rmax, _KF_CAP):
+        caps["max_per_row"] = _KF_CAP
+    print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, {ovf}/{Tc} "
+          f"tiles overflow -> global kc {kc} (config floor {floor})"
+          + (" / row " + str(caps.get("max_per_row", "")) if "max_per_row"
+             in caps else ""))
+    return caps
 
 
 def render_trajectory(cfg: Config) -> dict[str, str]:

@@ -40,8 +40,10 @@ def psnr(img: jax.Array, gt: jax.Array) -> jax.Array:
 def make_eval_render(cfg: Config, meta, sh_degree: int,
                      with_stats: bool = False,
                      max_per_coarse: int | None = None,
+                     max_per_row: int | None = None,
                      escalate_tiles: int = 0,
-                     escalate_per_coarse: int = 0):
+                     escalate_per_coarse: int = 0,
+                     escalate_per_row: int | None = None):
     """Eval renders at TRAINING fidelity by default (recall 0.95, f32
     compositing) so reported PSNR measures the model, not the fast path.
     The cheap inference path (used for trajectory videos and bench) is
@@ -66,9 +68,10 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
             image_idx=batch.get("image_idx", 0),
             sh_degree=sh_degree, tile_size=cfg.render.tile_size,
             max_per_tile=cfg.render.max_intersects_per_tile,
-            max_per_coarse=kc,
+            max_per_coarse=kc, max_per_row=max_per_row,
             escalate_tiles=escalate_tiles,
             escalate_per_coarse=escalate_per_coarse,
+            escalate_per_row=escalate_per_row,
             interpolate_pose=True, clamp=True,
             white_background=bool(cfg.data.white_background),
             bf16_composite=fast and bool(cfg.render.get("bf16_composite",

@@ -23,7 +23,8 @@ class _Scene:
         return None
 
 
-def _probe_with(monkeypatch, coarse_max, overflow_tiles, cfg=None):
+def _probe_with(monkeypatch, coarse_max, overflow_tiles, cfg=None,
+                row_max=0):
     cfg = cfg or default_config()
 
     def fake_make_eval_render(cfg_, meta, sh_degree, with_stats=False,
@@ -31,8 +32,11 @@ def _probe_with(monkeypatch, coarse_max, overflow_tiles, cfg=None):
         assert with_stats
 
         def stats_render(params, cam, batch):
-            return {"raster_stats": {"coarse_max": coarse_max,
-                                     "coarse_overflow_tiles": overflow_tiles}}
+            return {"raster_stats": {
+                "coarse_max": coarse_max,
+                "coarse_overflow_tiles": overflow_tiles,
+                "escalation_candidate_tiles": overflow_tiles,
+                "row_max": row_max}}
 
         return stats_render
 
@@ -68,6 +72,26 @@ def test_probe_majority_overflow_goes_global(monkeypatch):
     caps = _probe_with(monkeypatch, coarse_max=38351, overflow_tiles=80)
     assert caps == {"max_per_coarse": 43008}     # escalation would re-render
     # most of the frame
+
+
+def test_probe_row_only_overflow_escalates_rows(monkeypatch):
+    # tile totals all fit the 4096 floor, but one tile has a 16px row over
+    # the fused kernel's kf=1024 -> escalate with a raised row capacity
+    caps = _probe_with(monkeypatch, coarse_max=3000, overflow_tiles=1,
+                       row_max=2400)
+    assert caps["max_per_coarse"] == 4096
+    assert caps["escalate_tiles"] == 8                   # min budget bucket
+    assert caps["escalate_per_coarse"] == 4096
+    assert caps["escalate_per_row"] == 2048              # _KF_CAP
+
+
+def test_probe_coarse_escalation_carries_row_capacity(monkeypatch):
+    # dense tiles overflow BOTH drop sites: the escalated pass gets the
+    # VMEM-capped row capacity alongside the high coarse capacity
+    caps = _probe_with(monkeypatch, coarse_max=38351, overflow_tiles=25,
+                       row_max=2401)
+    assert caps["escalate_per_coarse"] == 43008
+    assert caps["escalate_per_row"] == 2048
 
 
 def test_probe_escalate_opt_out(monkeypatch):

@@ -275,3 +275,75 @@ def test_fused_escalation_noop_when_nothing_overflows():
     np.testing.assert_array_equal(np.asarray(esc.colors),
                                   np.asarray(plain.colors))
     assert int(esc.stats["escalated_tiles"]) == 0
+
+
+def test_fused_escalation_row_overflow():
+    """Row-aware escalation score (round 4): a tile whose TOTAL fits the
+    coarse capacity can still drop the far tail of a dense 16px row at the
+    per-row compaction capacity. The escalation score (max of coarse and
+    row deficit) must pick that tile and the escalated pass's higher row
+    capacity must recover the exact render."""
+    W, H = 256, 128
+    rng = np.random.default_rng(11)
+    n_band, n_sparse = 700, 200
+    n = n_band + n_sparse
+    # dense band: one 16px row (y in [40, 48)) of the LEFT coarse tile
+    u = np.concatenate([rng.uniform(4, 124, n_band),
+                        rng.uniform(128, W - 4, n_sparse)]).astype(np.float32)
+    v = np.concatenate([rng.uniform(40, 48, n_band),
+                        rng.uniform(0, H, n_sparse)]).astype(np.float32)
+    sc = rng.uniform(1.0, 3.0, n).astype(np.float32)
+    ca = 1.0 / sc ** 2
+    cc = 1.0 / (sc * 0.8) ** 2
+    cb = np.zeros(n, np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    opa = rng.uniform(0.05, 0.3, n).astype(np.float32)   # low: no early exit
+    dep = rng.uniform(1, 50, n).astype(np.float32)
+    val = np.ones(n, bool)
+    rad = 3 * sc
+    args = [jnp.asarray(x) for x in (u, v, ca, cb, cc, cols, opa, dep, val,
+                                     rad)]
+
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    # kc=1024 holds the left tile's full 700+ candidates -> ZERO coarse
+    # drops; kf=128 drops most of the dense row's tail
+    base = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                  coarse_factor=8, max_per_coarse=1024,
+                                  max_per_row=128, select_method="exact",
+                                  with_stats=True)
+    esc = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=1024,
+                                 max_per_row=128, select_method="exact",
+                                 escalate_tiles=2, escalate_per_coarse=1024,
+                                 escalate_per_row=1024, with_stats=True)
+
+    def psnr(a, b):
+        mse = float(jnp.mean((a - b) ** 2))
+        return -10 * np.log10(mse + 1e-12)
+
+    assert int(base.stats["coarse_dropped"]) == 0        # rows, not coarse
+    assert int(base.stats["row_dropped"]) > 400
+    assert int(base.stats["escalation_candidate_tiles"]) == 1
+    q_base = psnr(base.colors, ref.colors)
+    q_esc = psnr(esc.colors, ref.colors)
+    assert q_base < 45.0, q_base
+    assert q_esc > 60.0, (q_esc, q_base)
+    assert int(esc.stats["escalated_tiles"]) == 1
+    assert int(esc.stats["coarse_dropped_escalated"]) == 0
+
+
+def test_xla_stats_report_fused_row_occupancy():
+    """The XLA stats path (what the capacity probe runs) must report the
+    fused kernel's row occupancy + combined escalation candidates."""
+    W, H, n = 256, 128, 900
+    args = make_scene(n, W, H, seed=12)
+    out = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=512, coarse_factor=8,
+                           max_per_coarse=4096, with_stats=True)
+    st = out.stats
+    assert "row_max" in st and "escalation_candidate_tiles" in st
+    assert 0 < int(st["row_max"]) <= n
+    # nothing overflows kc=4096 / kf=1024 on this sparse scene
+    assert int(st["escalation_candidate_tiles"]) == 0
