@@ -190,6 +190,13 @@ def main():
         _gate(f"raster_train_640x960_kc{kc}",
               _mk_train_render(640, 960, kc),
               (_sds(ps, dev), w2c_sds), results)
+        if kc == 4096 and not args.quick:
+            # full-dataset-resolution TRAINING class (Tc=117): the bwd
+            # custom-call's buffers scale with Tc as well as kf — a class
+            # the 640x960 legs (Tc=40) cannot vouch for
+            _gate("raster_train_1066x1600_kc4096",
+                  _mk_train_render(1066, 1600, kc),
+                  (_sds(ps, dev), w2c_sds), results)
 
     # ---- flagship UNet forward (all flash + temporal classes) -----------
     if not args.quick:

@@ -224,6 +224,15 @@ def _make_composite_train(kf: int, A: int, C: int, ts: int, cts: int,
     nb = kf // _KB
 
     def run_bwd(comp, cnt, dout):
+        # dcomp ALIASES comp (operand 1 counting the scalar prefetch):
+        # each (c, fy) program owns its block exclusively and pass 2 reads
+        # chunk b before writing it, so in-place is safe; comp is dead
+        # after this call (it exists only as this vjp's residual). Beyond
+        # the Tc*CF*kf*A*4-byte HBM saving, this removes the out-of-place
+        # output buffer that XLA allocated ON THE VMEM STACK for the bwd
+        # custom-call — the allocation that walled kf=2048 classes
+        # (gate round 4: f32[40,8,2048,12] = 31 MB vs the 16 MB stack;
+        # kf=1024's 15.7 MB fit, which is why the default class passed)
         return pl.pallas_call(
             bwd_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -237,6 +246,7 @@ def _make_composite_train(kf: int, A: int, C: int, ts: int, cts: int,
                                        lambda c, f, cnt: (c, f, 0, 0)),
                 scratch_shapes=[pltpu.VMEM((max(nb, 8), P), jnp.float32)]),
             out_shape=jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
+            input_output_aliases={1: 0},
             interpret=interpret,
         )(cnt, comp, dout)
 
