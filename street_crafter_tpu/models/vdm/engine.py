@@ -18,6 +18,7 @@ Parameters are plain pytrees; every method is jit-compatible.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -222,7 +223,16 @@ class VideoDiffusionEngine:
         T = cfgc.num_frames
         steps = num_steps or cfgc.num_steps
 
-        guidance_latents = self.encode_images(params, guide_images)
+        # memory-bounded encode whenever chunked decode is on (the
+        # reference's low_vram chunks BOTH directions, encode_first_stage /
+        # decode_first_stage, diffusion_condition.py:183-229): one [T, H, W]
+        # encoder pass at 25f 576x1024 OOMs a 16 GB chip mid-distillation
+        # (round-4 flagship rehearsal), and the per-frame encoder needs no
+        # temporal context so chunking is exact
+        encode = (functools.partial(self.encode_images_chunked,
+                                    chunk=cfgc.decode_chunk)
+                  if cfgc.decode_chunk else self.encode_images)
+        guidance_latents = encode(params, guide_images)
         cond, uc = self.build_conditioning(params, cond_image[:1])
         cond_latent = self.encode_images(params, cond_image)
         cond_frame = jnp.zeros((T,) + cond_latent.shape[1:])
@@ -238,7 +248,7 @@ class VideoDiffusionEngine:
         noise = jax.random.normal(key, guidance_latents.shape)
 
         if render_images is not None and sds_scale is not None:
-            render_latents = self.encode_images(params, render_images)
+            render_latents = encode(params, render_images)
             z = euler_edm_sample_sds(
                 denoise_fn, noise, sigmas, render_latents, sds_scale,
                 cond_frame=cond_frame, cond_mask=cond_mask)
