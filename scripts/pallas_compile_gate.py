@@ -53,6 +53,9 @@ def _sds(tree, dev):
 
 def _gate(name, fn, args_sds, results):
     import jax
+    only = results.get("_only")
+    if only and only not in name:
+        return
     t0 = time.perf_counter()
     try:
         compiled = jax.jit(fn).lower(*args_sds).compile()
@@ -144,6 +147,9 @@ def main():
     # divide the layout); single-device programs compiled on one device of
     # the 2x4 topology are identical — Mosaic compiles per-device
     ap.add_argument("--topology", default="v5e:2x4")
+    ap.add_argument("--only", default="",
+                    help="substring filter: only gate classes whose name "
+                         "contains this (e.g. raster_train)")
     args = ap.parse_args()
 
     import jax
@@ -153,6 +159,8 @@ def main():
     topo = topologies.get_topology_desc(args.topology, "tpu")
     dev = list(topo.devices)[0]
     results: dict = {"topology": args.topology}
+    if args.only:
+        results["_only"] = args.only
 
     # ---- raster eval capacity classes -----------------------------------
     w2c_sds = _sds(jax.ShapeDtypeStruct((4, 4), jnp.float32), dev)
@@ -233,6 +241,7 @@ def main():
               tuple(_sds(a, dev) for a in (params, x, t, ctx, y, guide)),
               results)
 
+    results.pop("_only", None)
     n_fail = sum(1 for v in results.values()
                  if isinstance(v, dict) and not v.get("ok", True))
     results["failures"] = n_fail

@@ -218,6 +218,25 @@ def make_instrumented_hook(c, events: list):
     return hook
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same policy as __graft_entry__): a
+    flagship-scale rehearsal's cold engine init is ~18 min of compiles over
+    the tunnel; with the cache a relaunch (e.g. after a VM reset) reuses
+    them (214 s measured at mid scale). Honors JAX_COMPILATION_CACHE_DIR so
+    snapshot launches can share the work tree's cache."""
+    import jax
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_compile_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
@@ -239,6 +258,7 @@ def main():
                     help="tiny VAE/CLIP + small context dims (CPU wiring "
                          "smoke only; the chip run uses full towers)")
     args = ap.parse_args()
+    _enable_compile_cache()
 
     if args.diffusion:
         # a lane-shift trajectory has one camera per scene frame; sampling
