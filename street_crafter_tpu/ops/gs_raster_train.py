@@ -216,12 +216,24 @@ def _make_composite_train(kf: int, A: int, C: int, ts: int, cts: int,
                 scratch_shapes=[pltpu.VMEM((8, P), jnp.float32),
                                 pltpu.VMEM((8, P), jnp.float32)]),
             out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(100 * 2**20,
+                                     max(32 * 2**20, 4 * kf * 128 * 4))),
             interpret=interpret,
         )(cnt, comp)
 
     bwd_kernel = functools.partial(
         _composite_bwd_kernel, kf=kf, A=A, C=C, ts=ts, cts=cts)
     nb = kf // _KB
+    # The [1, 1, kf, A] comp/dcomp blocks pad A=12 to 128 lanes (kf*128*4 B
+    # = 1 MB at kf=2048) and the bwd stages comp in + dcomp out (+ double
+    # buffering); the default 16 MB scoped-VMEM stack walls kf>=2048
+    # classes (gate round 4: "allocating on stack for ... f32[40,8,2048,12]
+    # custom-call"). Same cure as the compaction kernel: raise the
+    # per-kernel limit — v5e has 128 MB VMEM.
+    blk = kf * 128 * 4
+    vmem_limit = min(100 * 2**20, max(32 * 2**20, 6 * blk + 2**23))
+    train_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
 
     def run_bwd(comp, cnt, dout):
         # dcomp ALIASES comp (operand 1 counting the scalar prefetch):
@@ -247,6 +259,7 @@ def _make_composite_train(kf: int, A: int, C: int, ts: int, cts: int,
                 scratch_shapes=[pltpu.VMEM((max(nb, 8), P), jnp.float32)]),
             out_shape=jax.ShapeDtypeStruct((Tc, CF, kf, A), jnp.float32),
             input_output_aliases={1: 0},
+            compiler_params=train_params,
             interpret=interpret,
         )(cnt, comp, dout)
 
