@@ -198,7 +198,11 @@ def default_config() -> Config:
             # still VMEM-capped at 2048 — depth-ordered, so only the
             # farthest row tail can drop, reported in row_dropped stats).
             # Auto probing never picks BELOW this value (it is the floor
-            # for frames the probe did not see).
+            # for frames the probe did not see). TRAINING (fused_train)
+            # classes kc>=8192 are also compile-cleared on v5e (per-kernel
+            # scoped-VMEM limit, gate-verified round 4) — set this higher
+            # for dense post-densification scenes that report coarse drops
+            # during training.
             "max_intersects_per_coarse": 4096,
             "auto_capacity": True,
             # overflow-tile escalation (round 4): when the probe finds a
