@@ -249,6 +249,45 @@ def main():
             "psnr_vs_exact_db": round(q_escalated, 1),
             "raster_overflow": stats_esc}
 
+        # multi-CLASS escalation (round 5): each overflowing tile pays its
+        # own smallest gate-cleared class instead of every one paying the
+        # global max — the drop-free dense-scene lever VERDICT r4 #5/#6
+        # asked for (gsplat's per-tile economics at bucket granularity).
+        # Budgets from the per-class occupancy histogram + headroom.
+        def ceil8(x):
+            return max(8, -(-int(x) // 8) * 8)
+
+        row_only = max(0, int(stats.get("escalation_candidate_tiles", 0))
+                       - int(stats.get("coarse_overflow_tiles", 0)))
+        o8 = int(stats.get("tiles_over_8192", 0))
+        o16 = int(stats.get("tiles_over_16384", 0))
+        o4 = int(stats.get("coarse_overflow_tiles", 0))
+        mc_classes = [(ceil8(o16 * 1.5), kc_auto)]
+        if 16384 < kc_auto:
+            mc_classes.append((ceil8((o8 - o16 + row_only) * 1.5), 16384))
+        if 8192 < kc_auto and o4 - o8 > 0:
+            mc_classes.append((ceil8((o4 - o8) * 1.5), 8192))
+        mc_classes = tuple(mc_classes)
+        mc_kw = dict(escalate_classes=mc_classes)
+        # quality config: base recall 0.95 (training fidelity). The r5
+        # analysis of the 44-vs-51.3 dB escalated residual: escalated
+        # tiles' drops are cleared, but base tiles still run approx
+        # selection at k=4096 (the global-43008 reference effectively
+        # selects everything, so ITS recall is ~1) — recall misses, not
+        # drops, set the escalated quality floor.
+        dt_mc = time_render(flat, H, W, method="fused",
+                            recall_target=0.95, **mc_kw)
+        fast_mc = render_one(flat, H, W, K, cam, method="fused",
+                             recall_target=0.95, **mc_kw)
+        stats_mc = scene_stats(flat, H, W, K, cam, N_HEAVY, **mc_kw)
+        q_mc = psnr(np.clip(fast_mc, 0, 1), np.clip(ref, 0, 1))
+        extra["escalated_multiclass_600k"] = {
+            "base_kc": 4096, "classes": [list(c) for c in mc_classes],
+            "recall": 0.95,
+            "fps": round(1.0 / dt_mc, 2), "ref": "xla-exact-dropfree",
+            "psnr_vs_exact_db": round(q_mc, 1),
+            "raster_overflow": stats_mc}
+
         # 1M-splat post-densification regime
         N_1M = 1_000_000
         flat_1m = flat_from_pool(build_trained_like_scene(N_1M, seed=1))

@@ -118,6 +118,21 @@ def _mk_escalated_render(H, W, tiles, kc_hi):
     return f
 
 
+def _mk_multiclass_render(H, W, classes):
+    import jax.numpy as jnp
+    from street_crafter_tpu.models.gs.renderer import render_flat
+    K = np.array([[1.1 * W, 0, W / 2], [0, 1.1 * W, H / 2], [0, 0, 1]],
+                 np.float32)
+
+    def f(flat, w2c):
+        out = render_flat(flat, w2c, jnp.asarray(K), jnp.zeros(3), W, H,
+                          sh_degree=3, method="fused", max_per_coarse=4096,
+                          recall_target=0.85, escalate_classes=classes)
+        return out["rgb"]
+
+    return f
+
+
 def _mk_train_render(H, W, kc):
     import jax
     import jax.numpy as jnp
@@ -180,9 +195,17 @@ def main():
               _mk_eval_render(1066, 1600, 16384, kf=4096),
               (flat, w2c_sds), results)
         # overflow-tile escalation class (round 4): base 4096 + 40 dense
-        # tiles at the 600k scene's drop-free bucket
+        # tiles at the 600k scene's drop-free bucket (round 5: kf_hi now
+        # defaults to the gate-verified _KF_CAP_HI=4096 — this class
+        # re-verifies that combination at kc=43008)
         _gate("raster_eval_1066x1600_escalate40_kc43008",
               _mk_escalated_render(1066, 1600, 40, 43008),
+              (flat, w2c_sds), results)
+        # multi-class escalation (round 5): three capacity classes in one
+        # executable — the bench/probe production shape for dense scenes
+        _gate("raster_eval_1066x1600_multiclass_43008_16384_8192",
+              _mk_multiclass_render(1066, 1600,
+                                    ((16, 43008), (16, 16384), (16, 8192))),
               (flat, w2c_sds), results)
 
     # ---- raster train (fwd + analytic VJP) ------------------------------
@@ -242,8 +265,17 @@ def main():
               results)
 
     results.pop("_only", None)
+    n_gated = sum(1 for v in results.values()
+                  if isinstance(v, dict) and "ok" in v)
     n_fail = sum(1 for v in results.values()
                  if isinstance(v, dict) and not v.get("ok", True))
+    if args.only and n_gated == 0:
+        # a typo'd --only would otherwise gate NOTHING and exit 0 — a
+        # go/no-go check that silently passes without testing anything
+        print(f"[gate] ERROR: --only {args.only!r} matched no class names",
+              flush=True)
+        n_fail = 1
+    results["gated"] = n_gated
     results["failures"] = n_fail
     line = json.dumps(results)
     print(line, flush=True)

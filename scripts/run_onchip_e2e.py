@@ -63,17 +63,14 @@ def build_config(scene_dir: str, model_path: str, iters: int):
     return c
 
 
-def write_gt_images(c) -> None:
-    """Render palette-colored GT from the scene's own geometry and
-    overwrite every train/test image on disk."""
-    import imageio.v2 as imageio
+def palette_gt_params(scene):
+    """Ground-truth SceneParams: the scene's own geometry recolored with the
+    smooth position palette at high opacity (see module docstring). Shared
+    by the on-chip e2e run and the distillation-mechanism oracle test
+    (tests/test_distillation_oracle.py)."""
     import jax.numpy as jnp
 
-    from street_crafter_tpu.models.gs.renderer import render_scene
     from street_crafter_tpu.ops.sh import rgb_to_sh
-    from street_crafter_tpu.runner import create_scene
-
-    scene = create_scene(c)
 
     def recolor(pool, opacity_logit=3.0):
         if pool is None:
@@ -90,11 +87,23 @@ def write_gt_images(c) -> None:
             features_rest=jnp.zeros_like(pool.features_rest),
             opacity=jnp.full_like(pool.opacity, opacity_logit))
 
-    gt_params = dataclasses.replace(
+    return dataclasses.replace(
         scene.params,
         bkgd=recolor(scene.params.bkgd),
         actors=recolor(scene.params.actors),
         sky=recolor(scene.params.sky))
+
+
+def write_gt_images(c) -> None:
+    """Render palette-colored GT from the scene's own geometry and
+    overwrite every train/test image on disk."""
+    import imageio.v2 as imageio
+
+    from street_crafter_tpu.models.gs.renderer import render_scene
+    from street_crafter_tpu.runner import create_scene
+
+    scene = create_scene(c)
+    gt_params = palette_gt_params(scene)
 
     infos = scene.info.train_cameras + scene.info.test_cameras
     cams = scene.train_cameras + scene.test_cameras
@@ -103,7 +112,8 @@ def write_gt_images(c) -> None:
         img = render_scene(
             gt_params, scene.meta, cam, frame_idx=b["frame_idx"],
             frame=b["frame"], cam_id=b["cam_id"],
-            timestamp=b.get("timestamp"), clamp=True)["rgb"]
+            timestamp=b.get("timestamp"),
+            sh_degree=c.model.gaussian.sh_degree, clamp=True)["rgb"]
         arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
         imageio.imwrite(info.image_path, arr)
     print(f"wrote {len(infos)} palette-GT images "
@@ -233,8 +243,10 @@ def _enable_compile_cache():
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+    except Exception as e:  # older jax — run uncached, but say so: an
+        # interrupted rehearsal would silently repay ~18 min of compiles
+        print(f"[warn] compile cache setup failed ({e!r}); "
+              f"running without a persistent cache", flush=True)
 
 
 def main():
@@ -257,6 +269,10 @@ def main():
     ap.add_argument("--tiny-towers", action="store_true",
                     help="tiny VAE/CLIP + small context dims (CPU wiring "
                          "smoke only; the chip run uses full towers)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="also checkpoint every N iters (config resume=True "
+                         "restarts a killed run from the last one — the r4 "
+                         "flagship rehearsal was zeroed by a VM restart)")
     args = ap.parse_args()
     _enable_compile_cache()
 
@@ -271,6 +287,10 @@ def main():
                            img_hw=(args.height, args.width))
 
     c = build_config(scene_dir, os.path.join(root, "model"), args.iters)
+    if args.checkpoint_every:
+        c.train.checkpoint_iterations = sorted(
+            set(range(args.checkpoint_every, args.iters,
+                      args.checkpoint_every)) | {args.iters})
     hook, events = None, []
     if args.diffusion:
         c.diffusion.use_diffusion = True

@@ -59,6 +59,7 @@ def render_flat(
     escalate_tiles: int = 0,        # fused path: re-render the densest
     escalate_per_coarse: int = 0,   # tiles at high capacity instead of
     escalate_per_row: int | None = None,  # paying it for every tile
+    escalate_classes: tuple = (),   # multi-class: ((budget, kc), ...)
     extra_channels: jax.Array | None = None,  # [N, Ks] per-gaussian values
     # alpha-composited alongside color (e.g. semantic logits,
     # street_gaussian_renderer.py:195-200); XLA path only. Returned under
@@ -107,6 +108,7 @@ def render_flat(
             escalate_tiles=escalate_tiles,
             escalate_per_coarse=escalate_per_coarse,
             escalate_per_row=escalate_per_row,
+            escalate_classes=escalate_classes,
             recall_target=recall_target, with_stats=with_stats)
     elif method == "fused_train":
         # differentiable Pallas path: fused forward + analytic backward
@@ -180,6 +182,7 @@ def render_scene(
     escalate_tiles: int = 0,              # fused eval path only: overflow-
     escalate_per_coarse: int = 0,         # tile escalation for the
     escalate_per_row: int | None = None,  # FOREGROUND pass (sky is sparse)
+    escalate_classes: tuple = (),         # multi-class: ((budget, kc), ...)
 ) -> dict[str, jax.Array]:
     """Full composition: foreground -> sky blend -> color correction."""
     w2c = camera.w2c
@@ -213,7 +216,8 @@ def render_scene(
         max_per_coarse=max_per_coarse, max_per_row=max_per_row,
         escalate_tiles=escalate_tiles if method == "fused" else 0,
         escalate_per_coarse=escalate_per_coarse,
-        escalate_per_row=escalate_per_row)
+        escalate_per_row=escalate_per_row,
+        escalate_classes=escalate_classes if method == "fused" else ())
 
     if include_sky and params.sky is not None:
         sky_flat = flatten_scene(

@@ -315,7 +315,15 @@ def rasterize_pixels(
                & alive[:, None, :])                       # [Tc, CF, kc]
         rcounts_fused = rin.sum(-1)
         kf_fused = default_row_capacity(kc)
+        # per-class occupancy histogram (multi-class escalation sizing —
+        # mirrors gs_raster_fused's with_stats keys)
+        for cls in (4096, 8192, 16384, 32768):
+            stats[f"tiles_over_{cls}"] = (counts_c > cls).sum()
         stats["row_max"] = rcounts_fused.max()
+        # fused-path row-drop counter at this kc's default row capacity
+        # (the train raster's second drop site; capacity-aware training
+        # reports it next to eval PSNR)
+        stats["row_dropped"] = jnp.maximum(rcounts_fused - kf_fused, 0).sum()
         stats["escalation_candidate_tiles"] = (
             jnp.maximum(counts_c / kc, rcounts_fused.max(-1) / kf_fused)
             > 1.0).sum()

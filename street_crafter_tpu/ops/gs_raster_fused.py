@@ -72,6 +72,16 @@ _KF_CAP = 2048     # per-16px-row compacted capacity cap: the [CF, kf, A]
 _LOG_STOP_T = -5.545      # log(1/255)
 _LOG_CLAMP = -0.0010005   # log(ALPHA_CLAMP) = log(0.999)
 
+# Row-capacity cap for EVAL escalated/high-capacity passes. The round-4
+# compile gate proved kf=4096 lowers on the real v5e compiler
+# (raster_eval_1066x1600_kc16384_kf4096 ok — BASELINE.md Aug 20); the
+# round-4 bench then measured the kf=2048 cap to be the escalated path's
+# residual quality gap (43.9 dB vs 50.7 global on the 600k scene: the
+# densest rows reach 2401 > 2048). Composite work scales with per-row
+# COUNTS, not kf, so the higher cap costs only tiles that actually hold
+# more. Train keeps _KF_CAP (its bwd classes were gate-cleared there).
+_KF_CAP_HI = 4096
+
 
 def _compact_kernel(cand_ref, yb_ref, comp_ref, cnt_ref, st_ref, *,
                     kch: int, NB: int, kf: int, A: int, ts: int, CF: int,
@@ -179,14 +189,28 @@ def round_coarse_capacity(kc: int) -> int:
     return kc
 
 
-def default_row_capacity(kc: int) -> int:
+def default_row_capacity(kc: int, cap: int = _KF_CAP) -> int:
     """Default per-16px-row compacted capacity: kc/4 (rows saturate or run
-    dry long before the coarse list), VMEM-capped at _KF_CAP — the
+    dry long before the coarse list), VMEM-capped at ``cap`` — the
     [CF, kf, A] comp block pads A to 128 lanes, so kf cannot scale with
     unbounded kc. Depth-ordered fill makes the cap drop only the farthest
-    row tail (reported in row_dropped stats)."""
-    kf = min(kc // 4, _KF_CAP)
+    row tail (reported in row_dropped stats). Eval/escalation callers pass
+    cap=_KF_CAP_HI (gate-verified); the train raster keeps _KF_CAP — its
+    bwd buffer classes were gate-cleared at that kf."""
+    kf = min(kc // 4, cap)
     return min(kc, max(_KB, -(-kf // _KB) * _KB))
+
+
+def scoped_vmem_limit(block_bytes: int, n_blocks: int) -> int:
+    """Per-kernel Mosaic scoped-VMEM limit for kernels whose VMEM-resident
+    blocks outgrow the conservative 16 MB default (Mosaic charges revisited
+    output blocks ~2x, and bwd kernels stage several kf-sized buffers).
+    ``n_blocks * block_bytes`` models the kernel's resident blocks incl.
+    that double-charge; +8 MB margin covers scratch/double-buffering. v5e
+    has 128 MB VMEM total, so the 100 MB cap leaves the runtime headroom.
+    Shared by the chunked compaction kernel and the train composite fwd/bwd
+    (ADVICE r4: three hand-rolled variants had drifted)."""
+    return min(100 * 2**20, max(32 * 2**20, n_blocks * block_bytes + 2**23))
 
 
 def run_compact_chunked(cand, yb, *, Tc: int, kc: int, kf: int, A: int,
@@ -208,8 +232,7 @@ def run_compact_chunked(cand, yb, *, Tc: int, kc: int, kf: int, A: int,
     # axis streams in chunks. Raise the per-kernel limit with headroom for
     # the kf=4096 class; v5e has 128 MB VMEM total so 3x-block + margin is
     # conservative.
-    comp_block = CF * kf * 128 * 4
-    vmem_limit = min(100 * 2**20, max(32 * 2**20, 3 * comp_block + 2**23))
+    vmem_limit = scoped_vmem_limit(CF * kf * 128 * 4, 3)
     return pl.pallas_call(
         compact,
         grid=(Tc, NB),
@@ -341,7 +364,7 @@ def _composite_kernel(cnt_ref, comp_ref, out_ref, acc_ref, lt_ref, *,
                      "max_per_coarse", "max_per_row", "select_method",
                      "recall_target", "bf16_composite", "with_stats",
                      "escalate_tiles", "escalate_per_coarse",
-                     "escalate_per_row",
+                     "escalate_per_row", "escalate_classes",
                      "_debug_no_kernel", "_debug_phase1"))
 def rasterize_pixels_fused(
     u: jax.Array,          # [N] pixel x
@@ -382,6 +405,13 @@ def rasterize_pixels_fused(
     escalate_tiles: int = 0,          # static budget of dense tiles (0=off)
     escalate_per_coarse: int = 0,     # capacity for escalated tiles
     escalate_per_row: int | None = None,  # their per-16px-row capacity
+    # multi-class escalation (round 5): ((budget_tiles, kc_hi), ...) —
+    # tiles pay the SMALLEST gate-cleared class that covers their measured
+    # need instead of every overflowing tile paying the global maximum.
+    # gsplat's per-tile worklist economics approximated at bucket
+    # granularity: total re-render work ~ sum over tiles of their own
+    # class, not n_overflow * kc_max. Overrides the single-class args.
+    escalate_classes: tuple = (),
     _debug_no_kernel: bool = False,   # bench: run everything but kernels
     _debug_phase1: bool = False,      # bench: compaction kernel only
 ) -> RasterOutput:
@@ -467,8 +497,9 @@ def rasterize_pixels_fused(
     cx0 = (txc.reshape(-1) * cts)[:, None]
     cy0 = (tyc.reshape(-1) * cts)[:, None]
     cand, yb, key = select_pack(cx0, cy0, kc)
+    escalating = escalate_tiles > 0 or bool(escalate_classes)
     counts_c = None
-    if with_stats or escalate_tiles > 0:
+    if with_stats or escalating:
         counts_c = (key < _INF).sum(axis=1)               # exact per tile
     stats = None
     if with_stats:
@@ -477,6 +508,11 @@ def rasterize_pixels_fused(
             "coarse_overflow_tiles": (counts_c > kc).sum(),
             "coarse_dropped": jnp.maximum(counts_c - kc, 0).sum(),
         }
+        # per-class occupancy histogram: how many tiles exceed each
+        # gate-cleared capacity class — sizes multi-class escalation
+        # budgets (a probe needs the distribution, not just the max)
+        for cls in (4096, 8192, 16384, 32768):
+            stats[f"tiles_over_{cls}"] = (counts_c > cls).sum()
     cand_depth = yb[:, 2, :]
 
     # per-row capacity for the compaction kernel (a 16px row intersects
@@ -485,9 +521,12 @@ def rasterize_pixels_fused(
     if max_per_row is not None:
         kf = min(kc, max(_KB, -(-max_per_row // _KB) * _KB))
     else:
-        kf = default_row_capacity(kc)
+        # eval path: the HI cap is gate-verified and composite work scales
+        # with counts, so high-capacity global renders (kc>=16384) get the
+        # row headroom their scenes imply instead of walling at 2048
+        kf = default_row_capacity(kc, cap=_KF_CAP_HI)
     row_max_t = None
-    if with_stats or escalate_tiles > 0:
+    if with_stats or escalating:
         # per-(tile, row) intersect counts over the SELECTED candidates:
         # exact for tiles whose total fits kc (complete candidate set); an
         # undercount for coarse-overflowing tiles, which the coarse term of
@@ -570,17 +609,31 @@ def rasterize_pixels_fused(
 
     packed = compose(cand, yb, Tc, kc, kf)
 
-    if escalate_tiles > 0:
-        # second pass over the OVF densest tiles at high capacity; finished
-        # pixel blocks replace the base tiles' blocks. Tiles that fit the
-        # base capacity keep the base render (their scatter index is pushed
-        # out of range -> dropped).
-        OVF = min(escalate_tiles, Tc)
+    # ---- overflow-tile escalation ---------------------------------------
+    # Second pass(es) over the densest tiles at higher capacity; finished
+    # pixel blocks replace the base tiles' blocks. Tiles that fit the base
+    # capacity keep the base render (their scatter index is pushed out of
+    # range -> dropped). Multi-class (round 5): classes run from the
+    # HIGHEST capacity down; each tile lands in the smallest class covering
+    # its measured need (coarse count AND row max), so a 9k-count tile no
+    # longer pays the 43k class alongside a 38k-count one.
+    if escalate_classes:
+        classes = []
+        for budget, kc_c in sorted(escalate_classes, key=lambda t: -t[1]):
+            kc_c = round_coarse_capacity(min(max(kc_c, kc), n))
+            classes.append((min(int(budget), Tc), kc_c,
+                            default_row_capacity(kc_c, cap=_KF_CAP_HI)))
+    elif escalate_tiles > 0:
         kc_hi = round_coarse_capacity(min(max(escalate_per_coarse, kc), n))
         if escalate_per_row is not None:
             kf_hi = min(kc_hi, max(_KB, -(-escalate_per_row // _KB) * _KB))
         else:
-            kf_hi = default_row_capacity(kc_hi)
+            kf_hi = default_row_capacity(kc_hi, cap=_KF_CAP_HI)
+        classes = [(min(escalate_tiles, Tc), kc_hi, kf_hi)]
+    else:
+        classes = []
+
+    if classes:
         # escalation score: worst capacity deficit across BOTH drop sites —
         # the coarse depth-selection (counts_c vs kc) and the per-16px-row
         # compaction (row_max_t vs kf). A tile whose total fits kc can
@@ -590,24 +643,37 @@ def rasterize_pixels_fused(
         # clears them
         score = jnp.maximum(counts_c.astype(jnp.float32) / kc,
                             row_max_t.astype(jnp.float32) / kf)
-        top_scores, top_ids = jax.lax.top_k(score, OVF)
-        top_counts = counts_c[top_ids]
-        esc_valid = top_scores > 1.0                       # [OVF]
-        cand_hi, yb_hi, _ = select_pack(cx0[top_ids], cy0[top_ids], kc_hi)
-        packed_hi = compose(cand_hi, yb_hi, OVF, kc_hi, kf_hi)
-        ids_eff = jnp.where(esc_valid, top_ids, Tc)        # Tc = dropped
-        packed = packed.at[ids_eff].set(packed_hi, mode="drop")
+        taken = jnp.zeros((Tc,), bool)
+        n_escalated = jnp.zeros((), jnp.int32)
+        dropped_esc = jnp.maximum(counts_c - kc, 0).sum()
+        for j, (budget, kc_j, kf_j) in enumerate(classes):
+            # a tile is eligible for class j only if the NEXT class down
+            # (or the base pass) could not hold it — both drop sites
+            kc_lo, kf_lo = (classes[j + 1][1:] if j + 1 < len(classes)
+                            else (kc, kf))
+            eligible = (((counts_c > kc_lo) | (row_max_t > kf_lo))
+                        & ~taken)
+            score_j = jnp.where(eligible, score, 0.0)
+            top_scores, top_ids = jax.lax.top_k(score_j, budget)
+            esc_valid = top_scores > 1.0                   # [budget]
+            cand_hi, yb_hi, _ = select_pack(cx0[top_ids], cy0[top_ids],
+                                            kc_j)
+            packed_hi = compose(cand_hi, yb_hi, budget, kc_j, kf_j)
+            ids_eff = jnp.where(esc_valid, top_ids, Tc)    # Tc = dropped
+            packed = packed.at[ids_eff].set(packed_hi, mode="drop")
+            taken = taken.at[ids_eff].set(True, mode="drop")
+            n_escalated = n_escalated + esc_valid.sum()
+            top_counts = counts_c[top_ids]
+            # residual coarse-drop accounting: escalated tiles clamp at
+            # their class capacity instead of the base kc
+            dropped_esc = dropped_esc - jnp.where(
+                esc_valid, jnp.maximum(top_counts - kc, 0), 0).sum() \
+                + jnp.where(
+                    esc_valid, jnp.maximum(top_counts - kc_j, 0), 0).sum()
         if with_stats:
             stats = dict(stats or {})
-            stats["escalated_tiles"] = esc_valid.sum()
-            # residual coarse drops with escalation in effect: escalated
-            # tiles clamp at kc_hi, every other tile at the base kc
-            over_all = jnp.maximum(counts_c - kc, 0).sum()
-            over_top = jnp.where(
-                esc_valid, jnp.maximum(top_counts - kc, 0), 0).sum()
-            over_hi = jnp.where(
-                esc_valid, jnp.maximum(top_counts - kc_hi, 0), 0).sum()
-            stats["coarse_dropped_escalated"] = over_all - over_top + over_hi
+            stats["escalated_tiles"] = n_escalated
+            stats["coarse_dropped_escalated"] = dropped_esc
 
     # [Tc, CF(fy), 8, ts*cts] -> [H, W, 8] -> crop
     img = packed.reshape(THc, TWc, CF, 8, ts, cts)

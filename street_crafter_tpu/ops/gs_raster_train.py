@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .gs_raster import RasterOutput, _INF
 from .gs_raster_fused import (_KB, _LOG_CLAMP, _LOG_STOP_T,
                               _composite_kernel, default_row_capacity,
-                              round_coarse_capacity, run_compact_chunked)
+                              round_coarse_capacity, run_compact_chunked,
+                              scoped_vmem_limit)
 
 
 def _composite_bwd_kernel(cnt_ref, comp_ref, dout_ref, dcomp_ref,
@@ -217,8 +218,7 @@ def _make_composite_train(kf: int, A: int, C: int, ts: int, cts: int,
                                 pltpu.VMEM((8, P), jnp.float32)]),
             out_shape=jax.ShapeDtypeStruct((Tc, CF, 8, P), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(100 * 2**20,
-                                     max(32 * 2**20, 4 * kf * 128 * 4))),
+                vmem_limit_bytes=scoped_vmem_limit(kf * 128 * 4, 4)),
             interpret=interpret,
         )(cnt, comp)
 
@@ -230,10 +230,9 @@ def _make_composite_train(kf: int, A: int, C: int, ts: int, cts: int,
     # buffering); the default 16 MB scoped-VMEM stack walls kf>=2048
     # classes (gate round 4: "allocating on stack for ... f32[40,8,2048,12]
     # custom-call"). Same cure as the compaction kernel: raise the
-    # per-kernel limit — v5e has 128 MB VMEM.
-    blk = kf * 128 * 4
-    vmem_limit = min(100 * 2**20, max(32 * 2**20, 6 * blk + 2**23))
-    train_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    # per-kernel limit — v5e has 128 MB VMEM (scoped_vmem_limit).
+    train_params = pltpu.CompilerParams(
+        vmem_limit_bytes=scoped_vmem_limit(kf * 128 * 4, 6))
 
     def run_bwd(comp, cnt, dout):
         # dcomp ALIASES comp (operand 1 counting the scalar prefetch):

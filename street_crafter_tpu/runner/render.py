@@ -68,8 +68,9 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
     # frame must not downgrade denser un-probed frames below the value the
     # old fixed default handled, and a user-raised config value wins
     floor = int(cfg.render.get("max_intersects_per_coarse", 4096))
-    from ..ops.gs_raster_fused import _KF_CAP, default_row_capacity
+    from ..ops.gs_raster_fused import _KF_CAP_HI, default_row_capacity
     cmax, ovf, rmax = 0, 0, 0
+    hist = {}
     for i in picks:
         out = stats_render(params, cams[i], scene.batch_for(infos[i]))
         st = out["raster_stats"]
@@ -81,10 +82,15 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
         ovf = max(ovf, int(st.get("escalation_candidate_tiles",
                                   st["coarse_overflow_tiles"])))
         rmax = max(rmax, int(st.get("row_max", 0)))
+        for cls in (4096, 8192, 16384, 32768):
+            k = f"tiles_over_{cls}"
+            if k in st:
+                hist[cls] = max(hist.get(cls, 0), int(st[k]))
     kc = max(pick_coarse_capacity(cmax), floor)
     # a dense 16px row can overflow the fused kernel's per-row compaction
     # even when its tile's total fits kc; the escalated pass's row capacity
-    # (VMEM-capped at _KF_CAP) clears that second drop site
+    # (VMEM-capped at _KF_CAP_HI, gate-verified) clears that second drop
+    # site
     row_need = rmax > default_row_capacity(floor)
     if kc <= floor and not row_need:
         print(f"auto capacity: coarse_max {cmax} over {len(picks)} probes "
@@ -95,19 +101,44 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
     if bool(cfg.render.get("escalate", True)) and 0 < ovf <= Tc // 2:
         # budget: observed overflow count + headroom for denser un-probed
         # frames, rounded to a bucket of 8 (one executable per bucket)
-        tiles = max(8, -(-int(ovf * 1.5) // 8) * 8)
+        def bucket8(x):
+            return max(8, -(-int(x * 1.5) // 8) * 8)
+
+        tiles = bucket8(ovf)
+        # multi-CLASS escalation (round 5): when the capacity need spans
+        # more than one gate-cleared class above the floor, each tile pays
+        # its own smallest covering class instead of the global max — the
+        # class histogram comes from the stats probe (tiles_over_*)
+        if (floor == 4096 and kc > 16384 and hist.get(8192, 0) > 0
+                and ovf > hist.get(16384, 0)):
+            o8, o16 = hist.get(8192, 0), hist.get(16384, 0)
+            o4 = max(ovf, hist.get(4096, 0))
+            classes = [(bucket8(max(o16, 1)), kc)]
+            if o8 - o16 > 0 or row_need:
+                classes.append((bucket8(max(o8 - o16, 0)
+                                        + (ovf - o4 if row_need else 0)
+                                        + 1), 16384))
+            if o4 - o8 > 0:
+                classes.append((bucket8(o4 - o8), 8192))
+            caps = {"max_per_coarse": floor,
+                    "escalate_classes": tuple(classes)}
+            print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, "
+                  f"{ovf}/{Tc} tiles over the {floor} floor -> "
+                  f"multi-class escalation {classes}")
+            return caps
         caps = {"max_per_coarse": floor, "escalate_tiles": tiles,
                 "escalate_per_coarse": kc}
         if row_need:
-            caps["escalate_per_row"] = _KF_CAP
+            caps["escalate_per_row"] = min(_KF_CAP_HI, kc)
         print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, "
               f"{ovf}/{Tc} tiles over the {floor} floor -> escalate "
               f"{tiles} tiles at kc {kc}"
-              + (f" / row {_KF_CAP}" if row_need else ""))
+              + (f" / row {caps['escalate_per_row']}" if row_need else ""))
         return caps
     caps = {"max_per_coarse": kc}
-    if row_need and default_row_capacity(kc) < min(rmax, _KF_CAP):
-        caps["max_per_row"] = _KF_CAP
+    if row_need and default_row_capacity(kc, cap=_KF_CAP_HI) < min(rmax,
+                                                                   _KF_CAP_HI):
+        caps["max_per_row"] = _KF_CAP_HI
     print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, {ovf}/{Tc} "
           f"tiles overflow -> global kc {kc} (config floor {floor})"
           + (" / row " + str(caps.get("max_per_row", "")) if "max_per_row"

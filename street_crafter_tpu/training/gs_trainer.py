@@ -159,13 +159,22 @@ def make_train_step(
     with_obj_acc: bool = False,
     batch_size: int = 1,
     mesh=None,
+    max_per_coarse: int | None = None,
 ) -> Callable:
     """Build the jitted training step. ``batch`` carries camera arrays and
     supervision images; static render options come from cfg.
 
     ``batch_size > 1`` returns the camera-DP variant: same signature, but
     ``camera``/``batch`` leaves carry a leading [B] axis (uniform
-    resolution), sharded over ``mesh``'s data axis when given."""
+    resolution), sharded over ``mesh``'s data axis when given.
+
+    ``max_per_coarse`` overrides the config raster capacity — the
+    capacity-aware training probe (runner.train GSTrainer) picks a
+    gate-cleared class {4096, 8192, 16384} from measured scene occupancy so
+    a post-densification scene does not silently train on a render that
+    drops (and therefore zero-grads) its densest tiles' candidates; gsplat
+    sizes per frame and drops nothing (street_gaussian_renderer.py:243-280).
+    """
     weights = LossWeights(
         lambda_l1=cfg.optim.lambda_l1, lambda_dssim=cfg.optim.lambda_dssim,
         lambda_lpips=cfg.optim.lambda_lpips, lambda_sky=cfg.optim.lambda_sky,
@@ -179,7 +188,9 @@ def make_train_step(
         lambda_novel_lpips=cfg.optim.lambda_novel_lpips)
     tile_size = cfg.render.tile_size
     max_per_tile = cfg.render.max_intersects_per_tile
-    max_per_coarse = int(cfg.render.get("max_intersects_per_coarse", 4096))
+    if max_per_coarse is None:
+        max_per_coarse = int(cfg.render.get("max_intersects_per_coarse",
+                                            4096))
     # training raster backend: "auto" -> the differentiable Pallas path
     # (ops/gs_raster_train.py, ~1.5x faster fwd+bwd) on TPU, the XLA
     # autodiff path on CPU (interpret-mode kernels are slow in tests)

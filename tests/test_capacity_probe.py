@@ -82,7 +82,10 @@ def test_probe_row_only_overflow_escalates_rows(monkeypatch):
     assert caps["max_per_coarse"] == 4096
     assert caps["escalate_tiles"] == 8                   # min budget bucket
     assert caps["escalate_per_coarse"] == 4096
-    assert caps["escalate_per_row"] == 2048              # _KF_CAP
+    # r5: escalated row capacity uses the gate-verified HI cap (capped by
+    # the escalated coarse capacity) — the r4 bench measured the old 2048
+    # cap as the escalated path's residual quality gap (BASELINE.md)
+    assert caps["escalate_per_row"] == 4096              # min(_KF_CAP_HI, kc)
 
 
 def test_probe_coarse_escalation_carries_row_capacity(monkeypatch):
@@ -91,7 +94,7 @@ def test_probe_coarse_escalation_carries_row_capacity(monkeypatch):
     caps = _probe_with(monkeypatch, coarse_max=38351, overflow_tiles=25,
                        row_max=2401)
     assert caps["escalate_per_coarse"] == 43008
-    assert caps["escalate_per_row"] == 2048
+    assert caps["escalate_per_row"] == 4096              # _KF_CAP_HI
 
 
 def test_probe_escalate_opt_out(monkeypatch):
