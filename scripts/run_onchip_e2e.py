@@ -154,7 +154,9 @@ def make_instrumented_hook(c, events: list):
         clip=(CLIPVisualConfig.tiny() if tiny_towers
               else CLIPVisualConfig(dtype="bfloat16")),
         num_frames=d.sample_frames, num_steps=d.num_steps,
-        cfg_scale=d.cfg_scale, decode_chunk=8)
+        cfg_scale=d.cfg_scale,
+        decode_chunk=int(d.get("decode_chunk", 8)),
+        encode_chunk=int(d.get("encode_chunk", 0)))
     engine = VideoDiffusionEngine(engine_cfg)
     t0 = time.perf_counter()
     params = load_vdm_params(engine, d, init_height=d.height,
@@ -269,6 +271,12 @@ def main():
     ap.add_argument("--tiny-towers", action="store_true",
                     help="tiny VAE/CLIP + small context dims (CPU wiring "
                          "smoke only; the chip run uses full towers)")
+    ap.add_argument("--decode-chunk", type=int, default=8,
+                    help="VAE decode chunk (>=4: 3-frame overlap floor)")
+    ap.add_argument("--encode-chunk", type=int, default=0,
+                    help="VAE encode chunk (0 = decode chunk); the encoder "
+                         "has no temporal context so 1-2 is valid — the "
+                         "r5 flagship OOM site at 576x1024")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="also checkpoint every N iters (config resume=True "
                          "restarts a killed run from the last one — the r4 "
@@ -299,6 +307,8 @@ def main():
         c.diffusion.sample_frames = args.sample_frames
         c.diffusion.num_steps = args.num_steps
         c.diffusion.window_size = 2
+        c.diffusion.decode_chunk = args.decode_chunk
+        c.diffusion.encode_chunk = args.encode_chunk
         c.diffusion.mid_channels = args.mid_channels
         c.diffusion.tiny_towers = args.tiny_towers
         # two sampling events inside the run; SDS partial denoise on the 2nd

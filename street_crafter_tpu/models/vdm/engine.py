@@ -47,6 +47,11 @@ class EngineConfig:
     motion_bucket_id: float = 127.0
     cond_aug: float = 0.0
     decode_chunk: int = 0     # >0: chunked VAE decode with 3-frame overlap
+    encode_chunk: int = 0     # >0: encoder chunk (else decode_chunk). The
+    # encoder needs no temporal context, so this can go below the decode's
+    # overlap+1 floor — at 576x1024 the encode of a 25f window at chunk=8
+    # was the r5 flagship rehearsal's OOM site (2257M-param engine + GS
+    # training state resident; BASELINE.md round-5 rows)
 
     @staticmethod
     def tiny(num_frames: int = 3, num_steps: int = 4) -> "EngineConfig":
@@ -229,9 +234,10 @@ class VideoDiffusionEngine:
         # encoder pass at 25f 576x1024 OOMs a 16 GB chip mid-distillation
         # (round-4 flagship rehearsal), and the per-frame encoder needs no
         # temporal context so chunking is exact
+        enc_chunk = cfgc.encode_chunk or cfgc.decode_chunk
         encode = (functools.partial(self.encode_images_chunked,
-                                    chunk=cfgc.decode_chunk)
-                  if cfgc.decode_chunk else self.encode_images)
+                                    chunk=enc_chunk)
+                  if enc_chunk else self.encode_images)
         guidance_latents = encode(params, guide_images)
         cond, uc = self.build_conditioning(params, cond_image[:1])
         cond_latent = self.encode_images(params, cond_image)
