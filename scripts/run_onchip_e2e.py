@@ -156,7 +156,8 @@ def make_instrumented_hook(c, events: list):
         num_frames=d.sample_frames, num_steps=d.num_steps,
         cfg_scale=d.cfg_scale,
         decode_chunk=int(d.get("decode_chunk", 8)),
-        encode_chunk=int(d.get("encode_chunk", 0)))
+        encode_chunk=int(d.get("encode_chunk", 0)),
+        low_vram=bool(d.get("low_vram", True)) and not tiny_towers)
     engine = VideoDiffusionEngine(engine_cfg)
     t0 = time.perf_counter()
     params = load_vdm_params(engine, d, init_height=d.height,

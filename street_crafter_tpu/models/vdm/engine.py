@@ -47,6 +47,9 @@ class EngineConfig:
     motion_bucket_id: float = 127.0
     cond_aug: float = 0.0
     decode_chunk: int = 0     # >0: chunked VAE decode with 3-frame overlap
+    low_vram: bool = False    # sample(): offload non-UNet subtrees to host
+    # during the denoise loop (the reference's --low_vram submodule
+    # offload, sample_condition.py:52-77)
     encode_chunk: int = 0     # >0: encoder chunk (else decode_chunk). The
     # encoder needs no temporal context, so this can go below the decode's
     # overlap+1 floor — at 576x1024 the encode of a 25f window at chunk=8
@@ -247,20 +250,45 @@ class VideoDiffusionEngine:
             cond_frame = cond_frame.at[idx].set(cond_latent[j])
             cond_mask = cond_mask.at[idx].set(1.0)
 
-        denoise_fn = self.make_cfg_denoise_fn(
-            params, cond, uc, guidance_latents, cond_mask, cfg_scale)
-
         sigmas = D.edm_sigmas(steps, cfgc.sigma_min, cfgc.sigma_max, cfgc.rho)
         noise = jax.random.normal(key, guidance_latents.shape)
 
+        # SDS init latents BEFORE the offload: the encode needs the VAE
         if render_images is not None and sds_scale is not None:
             render_latents = encode(params, render_images)
+        else:
+            render_latents = None
+
+        # low_vram (the reference's sample_condition.py:52-77 submodule
+        # offload, TPU form): the denoise loop reads ONLY params["unet"],
+        # and on a 15.75 GB v5e the 50-step CFG eval at 25x72x128 plus the
+        # full resident engine (4.5 GB bf16 at 320ch) plus GS training
+        # state brushes the ceiling (r5 flagship rehearsal OOMed here).
+        # Device-drop every non-UNet subtree for the loop's duration and
+        # re-push for the decode; params is mutated IN PLACE so callers
+        # holding the same dict (the window loop, EngineParamStore
+        # cleanup) stay consistent.
+        lv = bool(cfgc.low_vram)
+        if lv:
+            off = {k: v for k, v in params.items() if k != "unet"}
+            host_off = jax.device_get(off)
+            for leaf in jax.tree.leaves(off):
+                leaf.delete()
+
+        denoise_fn = self.make_cfg_denoise_fn(
+            params, cond, uc, guidance_latents, cond_mask, cfg_scale)
+
+        if render_latents is not None:
             z = euler_edm_sample_sds(
                 denoise_fn, noise, sigmas, render_latents, sds_scale,
                 cond_frame=cond_frame, cond_mask=cond_mask)
         else:
             z = euler_edm_sample(denoise_fn, noise, sigmas,
                                  cond_frame=cond_frame, cond_mask=cond_mask)
+        if lv:
+            z = jax.block_until_ready(z)   # loop done before re-pushing
+            for k, v in jax.device_put(host_off).items():
+                params[k] = v
 
         if cfgc.decode_chunk:
             frames = self.decode_latents_chunked(params, z,

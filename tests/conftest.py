@@ -41,24 +41,26 @@ except Exception as _e:  # noqa: BLE001 — missing g++: fall back to skips
           "test_native will skip")
 
 # ---------------------------------------------------------------------------
-# Test tiers (VERDICT r2 #8). Two checked-in duration manifests from the
-# 1-core CI host drive the markers:
-#   durations_r3.json       — top-60 of the FULL suite (~67 min) -> `slow`
-#                             marks tests >= SLOW_S s; `-m "not slow"` ~15 min
-#   durations_r3_smoke.json — complete per-test durations of the non-slow
-#                             tier (measured ~2.5x contended) -> `smoke`
-#                             keeps tests <= SMOKE_MAX_S there; `pytest -m
-#                             smoke` ~ 129 tests, <3 min on an idle host
+# Test tiers (VERDICT r2 #8; re-baselined round 5 per VERDICT r4 weak #7).
+# Two checked-in duration manifests from the 1-core CI host drive the
+# markers:
+#   durations_r5.json       — COMPLETE per-test {call, setup} durations of
+#                             the full suite (327 tests, heavily contended
+#                             run) -> `slow` marks tests >= SLOW_S s
+#   durations_r5_smoke.json — per-test totals of the non-slow tier ->
+#                             `smoke` keeps tests <= SMOKE_MAX_S there;
+#                             `pytest -m smoke` <3 min on an idle host
 # Tests absent from both manifests (new tests) default into the `not slow`
 # tier, NOT smoke — a new slow test must not silently blow the <3-min smoke
 # budget (ADVICE r3). Promote new fast tests by regenerating the manifests
-# with `pytest --durations=0 -q` after large changes.
+# with `pytest --durations=0 -q` after large changes (sub-5ms tests are
+# omitted by pytest; fill them from --collect-only as 0.0).
 # ---------------------------------------------------------------------------
 SLOW_S = 45.0
 SMOKE_MAX_S = 8.0   # contended seconds (~3 s idle)
 _here = pathlib.Path(__file__).parent
-_DUR = json.loads((_here / "durations_r3.json").read_text())
-_DUR_SMOKE = json.loads((_here / "durations_r3_smoke.json").read_text())
+_DUR = json.loads((_here / "durations_r5.json").read_text())
+_DUR_SMOKE = json.loads((_here / "durations_r5_smoke.json").read_text())
 # Modules whose shared fixtures cost >=10 s to build: one smoke test from
 # such a module would pay the whole fixture, so exclude the module entirely.
 _HEAVY_FIXTURE_MODULES = {
