@@ -73,3 +73,33 @@ def test_engine_training_loss(tiny_engine_with_params):
     gnorm = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), g["unet"], 0.0)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_sample_low_vram_bitmatch():
+    """low_vram sampling (the reference's --low_vram submodule offload,
+    sample_condition.py:52-77): device-dropping the non-UNet subtrees
+    during the denoise loop must not change a single bit of the sample,
+    and the caller's params dict must remain fully live afterwards (the
+    window loop and EngineParamStore cleanup reuse it)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from street_crafter_tpu.models.vdm.engine import (EngineConfig,
+                                                      VideoDiffusionEngine)
+
+    cfg = EngineConfig.tiny(num_frames=3, num_steps=2)
+    eng = VideoDiffusionEngine(cfg)
+    params = eng.init_params(jax.random.PRNGKey(0), 32, 64)
+    guide = jnp.zeros((3, 32, 64, 3))
+    cond = jnp.zeros((1, 32, 64, 3))
+    base = eng.sample(params, jax.random.PRNGKey(1), guide, cond)
+
+    eng_lv = VideoDiffusionEngine(dataclasses.replace(cfg, low_vram=True))
+    out = eng_lv.sample(params, jax.random.PRNGKey(1), guide, cond)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    assert all(not leaf.is_deleted() for leaf in jax.tree.leaves(params))
+    # a second window through the same dict must still work (in-place
+    # re-push keeps the dict consistent)
+    out2 = eng_lv.sample(params, jax.random.PRNGKey(2), guide, cond)
+    assert np.isfinite(np.asarray(out2)).all()
