@@ -194,6 +194,14 @@ def make_instrumented_hook(c, events: list):
     def hook(trainer, iteration: int, scale: float,
              masked_guidance: bool) -> None:
         scene = trainer.scene
+        # Drop every cached executable + its device allocations before the
+        # event: after a 100+-step GS phase (train step at kc16384, stats
+        # probes, eval renders — all at 576x1024) the accumulated loaded
+        # executables and allocator fragmentation left the 50-step CFG
+        # denoise scan RESOURCE_EXHAUSTED even with low_vram keeping only
+        # the 3.06 GB UNet resident (r5 flagship attempts 4-5). The GS step
+        # recompiles after the event via the persistent compile cache.
+        jax.clear_caches()
         dev_params = jax.device_put(params)
         runner = DiffusionRunner(
             scene, engine, dev_params, height=d.height, width=d.width,
@@ -219,10 +227,13 @@ def make_instrumented_hook(c, events: list):
         ev = dict(iteration=iteration, scale=scale,
                   total_s=time.perf_counter() - t0,
                   gs_render_s=render_s[0], hbm_peak_gb=mem_gb())
-        # drop the engine's device copy before GS training resumes (see
-        # the host-at-rest note in make_instrumented_hook)
+        # drop the engine's device copy AND the sampling executables
+        # before GS training resumes (see the host-at-rest note in
+        # make_instrumented_hook; r3 measured the post-event GS step dying
+        # without this)
         for leaf in jax.tree.leaves(dev_params):
             leaf.delete()
+        jax.clear_caches()
         events.append(ev)
         print(f"[diffusion] it {iteration}: event {ev['total_s']:.1f}s "
               f"(gs renders {ev['gs_render_s']:.1f}s) "

@@ -509,6 +509,15 @@ def make_diffusion_hook(cfg: Config) -> DiffusionHook:
     def hook(trainer: "GSTrainer", iteration: int, scale: float,
              masked_guidance: bool) -> None:
         scene = trainer.scene
+        # On accelerator backends (= params_on_host auto-on), drop cached
+        # executables around the event: a long GS phase's accumulated
+        # executables + fragmentation can leave the denoise scan
+        # RESOURCE_EXHAUSTED on a 16 GB chip even with the engine params
+        # host-resident (measured, r5 flagship rehearsal; see
+        # scripts/run_onchip_e2e.py hook). Recompiles ride the persistent
+        # compile cache.
+        if store.on_host:
+            jax.clear_caches()
         try:
             runner = DiffusionRunner(
                 scene, engine, store.acquire(),
@@ -535,6 +544,8 @@ def make_diffusion_hook(cfg: Config) -> DiffusionHook:
                        masked_guidance=masked_guidance)
         finally:
             store.release()
+            if store.on_host:
+                jax.clear_caches()
 
     hook.param_store = store  # introspection hook for tests/instrumentation
     return hook
