@@ -50,6 +50,9 @@ class EngineConfig:
     low_vram: bool = False    # sample(): offload non-UNet subtrees to host
     # during the denoise loop (the reference's --low_vram submodule
     # offload, sample_condition.py:52-77)
+    cfg_sequential: bool = False  # CFG as two T-frame UNet evals instead
+    # of one 2T batch: identical math, half the activation working set
+    # (see make_cfg_denoise_fn)
     encode_chunk: int = 0     # >0: encoder chunk (else decode_chunk). The
     # encoder needs no temporal context, so this can go below the decode's
     # overlap+1 floor — at 576x1024 the encode of a 25f window at chunk=8
@@ -119,24 +122,29 @@ class VideoDiffusionEngine:
         n = z.shape[0]
         if n <= chunk or overlap >= chunk:
             return self.decode_latents(params, z, num_frames=n)
-        step = chunk - overlap
-        outs: list = []
+        res = None
         prev = z[:overlap]
         pos = overlap
+        step = chunk - overlap
         while pos < n:
             cur = z[pos: pos + step]
             ctx_z = jnp.concatenate([prev, cur])
             out = self.decode_latents(params, ctx_z,
                                       num_frames=ctx_z.shape[0])
-            if not outs:
-                outs.append(out)
+            if res is None:
+                res = out
             else:
-                outs[-1] = outs[-1].at[-overlap:].set(
-                    (outs[-1][-overlap:] + out[:overlap]) / 2.0)
-                outs.append(out[overlap:])
+                # blend on the ACCUMULATED tensor, not the last chunk:
+                # with step < overlap (memory-tight chunks, e.g. 4/3 at
+                # 576x1024 — r5 flagship) the last appended piece is
+                # shorter than the overlap and per-chunk blending breaks
+                res = jnp.concatenate([
+                    res[:-overlap],
+                    (res[-overlap:] + out[:overlap]) / 2.0,
+                    out[overlap:]])
             prev = cur[-overlap:]
             pos += step
-        return jnp.concatenate(outs)
+        return res
 
     def encode_images_chunked(self, params, images: jax.Array,
                               chunk: int = 8) -> jax.Array:
@@ -178,9 +186,39 @@ class VideoDiffusionEngine:
         """CFG batch-doubling denoiser (guiders.py:28-41 + denoiser wrap +
         OpenAIWrapper concat, wrappers.py:25-41). Conditioned half gets
         guidance scale 1, unconditioned half 0
-        (sample_condition.py:282-290)."""
+        (sample_condition.py:282-290).
+
+        ``cfg_sequential`` (EngineConfig): run the unconditioned and
+        conditioned halves as two T-frame UNet evaluations instead of one
+        2T batch — mathematically identical (the temporal blocks group by
+        frame chunks of T, norms are per-sample, the halves never
+        interact) but HALF the activation working set, for memory-tight
+        chips. ~2x dispatch, near-equal device time at flagship shapes
+        (the level-0 seq is 9216 either way)."""
         T = self.cfg.num_frames
         scale = self.cfg.cfg_scale if cfg_scale is None else cfg_scale
+
+        def half_fn(c: Conditioning, gscale_val: float):
+            g = guidance_latents
+            gs = (None if g is None
+                  else jnp.full((T,), gscale_val))
+
+            def model_fn(scaled_x, c_noise):
+                net_in = jnp.concatenate([scaled_x, c.concat], axis=-1)
+                return self.unet.apply(
+                    params["unet"], net_in, c_noise, c.crossattn, c.vector,
+                    num_frames=T, cond_mask=cond_mask,
+                    guidance_input=g, guidance_scale=gs)
+
+            return model_fn
+
+        if self.cfg.cfg_sequential:
+            def denoise_fn(x: jax.Array, sigma: jax.Array) -> jax.Array:
+                uncond_out = D.denoise(half_fn(uc, 0.0), x, sigma)
+                cond_out = D.denoise(half_fn(cond, 1.0), x, sigma)
+                return D.vanilla_cfg(uncond_out, cond_out, scale)
+
+            return denoise_fn
 
         def denoise_fn(x: jax.Array, sigma: jax.Array) -> jax.Array:
             x2 = jnp.concatenate([x, x])

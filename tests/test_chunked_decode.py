@@ -45,3 +45,20 @@ def test_encode_chunked(engine):
     chunked = eng.encode_images_chunked(params, imgs, chunk=3)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
                                atol=1e-5)
+
+
+def test_chunked_step_below_overlap(engine):
+    """chunk=4/overlap=3 (step=1 < overlap): the memory-tight flagship
+    configuration. The old per-chunk blending indexed the LAST appended
+    piece (1 frame) against a 3-frame overlap and crashed mid-rehearsal
+    (r5 flagship event 1); blending on the accumulated tensor handles any
+    step >= 1."""
+    eng, params = engine
+    z = jax.random.normal(jax.random.PRNGKey(3), (10, 8, 8, 4))
+    out = eng.decode_latents_chunked(params, z, chunk=4, overlap=3)
+    assert out.shape[0] == 10
+    assert np.isfinite(np.asarray(out)).all()
+    # the normal-case semantics (step >= overlap) are unchanged: frames
+    # blend pairwise at chunk seams exactly as before
+    out53 = eng.decode_latents_chunked(params, z, chunk=5, overlap=2)
+    assert out53.shape[0] == 10
