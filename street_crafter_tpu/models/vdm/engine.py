@@ -142,7 +142,9 @@ class VideoDiffusionEngine:
                     res[:-overlap],
                     (res[-overlap:] + out[:overlap]) / 2.0,
                     out[overlap:]])
-            prev = cur[-overlap:]
+            # last `overlap` frames of the PROCESSED stream — cur alone is
+            # shorter than the overlap whenever step < overlap
+            prev = ctx_z[-overlap:]
             pos += step
         return res
 
