@@ -57,7 +57,9 @@ except Exception as _e:  # noqa: BLE001 — missing g++: fall back to skips
 # omitted by pytest; fill them from --collect-only as 0.0).
 # ---------------------------------------------------------------------------
 SLOW_S = 45.0
-SMOKE_MAX_S = 8.0   # contended seconds (~3 s idle)
+SMOKE_MAX_S = 4.0   # contended seconds (~1.5 s idle); r5 re-baseline
+# measured the 8.0 cap's tier at 13:56 contended — far past the <3-min
+# budget the tier exists for
 _here = pathlib.Path(__file__).parent
 _DUR = json.loads((_here / "durations_r5.json").read_text())
 _DUR_SMOKE = json.loads((_here / "durations_r5_smoke.json").read_text())
