@@ -22,13 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, iters=10):
-    outs = [fn(*args) for _ in range(2)]     # compile + warm
-    jax.block_until_ready(outs)
-    for _ in range(2):
+def timed(fn, args_list, iters=10):
+    """bench.py discipline: DISTINCT inputs per call, scalar outputs, ONE
+    host float() fetch at the end (block_until_ready is unreliable over
+    the axon tunnel — the first cut of this script "measured" 2.4M-element
+    sorts at 0.01 ms), two timed loops, report the second."""
+    _ = float(fn(*args_list[0]))
+    for _loop in range(2):
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        jax.block_until_ready(outs[-1])
+        outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
+        _ = float(outs[-1])
         dt = (time.perf_counter() - t0) / iters
     return dt * 1e3
 
@@ -38,28 +41,35 @@ def main():
     rows = {}
 
     for n in (600_000, 2_400_000):
-        keys = jnp.asarray(rng.random(n, dtype=np.float32))
+        keysets = [(jnp.asarray(rng.random(n, dtype=np.float32)),
+                    jnp.asarray(rng.integers(0, 117, n).astype(np.int32)))
+                   for _ in range(4)]
         vals = jnp.arange(n, dtype=jnp.int32)
-        tiles = jnp.asarray(rng.integers(0, 117, n).astype(np.int32))
 
-        sort1 = jax.jit(lambda k: jnp.sort(k))
-        rows[f"sort_f32_{n}"] = round(timed(sort1, keys), 2)
+        sort1 = jax.jit(lambda k: jnp.sort(k)[n // 2])
+        rows[f"sort_f32_{n}"] = round(
+            timed(sort1, [(k,) for k, _ in keysets]), 2)
 
-        argsort1 = jax.jit(lambda k: jnp.argsort(k))
-        rows[f"argsort_f32_{n}"] = round(timed(argsort1, keys), 2)
+        argsort1 = jax.jit(lambda k: jnp.argsort(k)[n // 2])
+        rows[f"argsort_f32_{n}"] = round(
+            timed(argsort1, [(k,) for k, _ in keysets]), 2)
 
-        kv = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
-        rows[f"sort_kv_{n}"] = round(timed(kv, keys, vals), 2)
+        kv = jax.jit(
+            lambda k, v: jax.lax.sort((k, v), num_keys=1)[1][n // 2])
+        rows[f"sort_kv_{n}"] = round(
+            timed(kv, [(k, vals) for k, _ in keysets]), 2)
 
-        lex = jax.jit(lambda t, k: jnp.lexsort((k, t)))
-        rows[f"lexsort_tile_depth_{n}"] = round(timed(lex, tiles, keys), 2)
+        lex = jax.jit(lambda t, k: jnp.lexsort((k, t))[n // 2])
+        rows[f"lexsort_tile_depth_{n}"] = round(
+            timed(lex, [(t, k) for k, t in keysets]), 2)
 
         # counting-sort building block: per-tile histogram via one matmul
         # (one-hot [N, 117] @ ones) — the MXU alternative to sort
         def hist(t):
             oh = jax.nn.one_hot(t, 117, dtype=jnp.float32)
-            return oh.sum(0)
-        rows[f"tile_histogram_{n}"] = round(timed(jax.jit(hist), tiles), 2)
+            return oh.sum(0)[60]
+        rows[f"tile_histogram_{n}"] = round(
+            timed(jax.jit(hist), [(t,) for _, t in keysets]), 2)
 
     print(json.dumps({"metric": "sort_cost_ms", "rows": rows,
                       "backend": jax.default_backend()}))

@@ -179,6 +179,7 @@ def render_scene(
     method: str = "xla",
     max_per_coarse: int = 4096,
     max_per_row: int | None = None,
+    select_method: str = "approx",        # foreground coarse selection
     escalate_tiles: int = 0,              # fused eval path only: overflow-
     escalate_per_coarse: int = 0,         # tile escalation for the
     escalate_per_row: int | None = None,  # FOREGROUND pass (sky is sparse)
@@ -214,6 +215,7 @@ def render_scene(
         bf16_composite=bf16_composite, recall_target=recall_target,
         with_stats=with_stats, method=method,
         max_per_coarse=max_per_coarse, max_per_row=max_per_row,
+        select_method=select_method,
         escalate_tiles=escalate_tiles if method == "fused" else 0,
         escalate_per_coarse=escalate_per_coarse,
         escalate_per_row=escalate_per_row,

@@ -107,14 +107,17 @@ class RasterOutput(NamedTuple):
     stats: dict | None = None
 
 
-def _sort_binning(x0, x1, y0, y1, depth_key, TWc, THc, cts, kc):
-    """Sort-based coarse binning (the gsplat radix-sort strategy, TPU form):
-    duplicate every Gaussian to the <=4 coarse tiles its bbox corners touch
-    (bbox clamped to one tile span, so splats wider than a coarse tile are
-    only approximated), lexsort the 4N (tile, depth) keys once, then each
-    tile's nearest-kc candidates are one contiguous window of the sorted
-    array. Returns (cand_idx [Tc, kc] into the original arrays,
-    cand_depth [Tc, kc] with +inf padding)."""
+def _sort_pairs(x0, x1, y0, y1, depth_key, TWc, THc, cts):
+    """One global (tile, depth) lexsort of the <=4N expanded splat/tile
+    pairs (the gsplat radix-sort strategy, TPU form): duplicate every
+    Gaussian to the <=4 coarse tiles its bbox corners touch (bbox clamped
+    to one tile span — measured 112.4 dB vs exact on the 600k heavy-tail
+    headline scene, BASELINE.md r5, so the wide-splat approximation is
+    negligible in practice), lexsort once (a single 2.4M-key lexsort
+    measures 9.5 ms on v5e — large SINGLE sorts are fast; only batched
+    small sorts are pathological), then every tile's nearest-k candidates
+    are one contiguous window. Returns (idx_s, depth_s, seg) with seg
+    [Tc + 1] segment offsets."""
     n = x0.shape[0]
     Tc = THc * TWc
     lim = cts - 1.0
@@ -147,12 +150,31 @@ def _sort_binning(x0, x1, y0, y1, depth_key, TWc, THc, cts, kc):
     idx_s = idx4[order]
 
     seg = jnp.searchsorted(tiles_s, jnp.arange(Tc + 1, dtype=jnp.int32))
-    window = seg[:Tc, None] + jnp.arange(kc, dtype=jnp.int32)[None]
-    in_seg = window < seg[1:, None]
-    window = jnp.minimum(window, 4 * n - 1)
+    return idx_s, depth_s, seg
+
+
+def _sort_windows(idx_s, depth_s, seg, tids, kc):
+    """Per-tile candidate windows from the global sort: for each tile id in
+    ``tids`` [T], the first kc entries of its sorted segment (depth order,
+    +inf padded). Any tile subset works — escalation classes reuse ONE
+    global sort at several capacities."""
+    n4 = idx_s.shape[0]
+    window = seg[tids][:, None] + jnp.arange(kc, dtype=jnp.int32)[None]
+    in_seg = window < seg[tids + 1][:, None]
+    window = jnp.minimum(window, n4 - 1)
     cand_idx = idx_s[window]
     cand_depth = jnp.where(in_seg, depth_s[window], _INF)
     return cand_idx, cand_depth
+
+
+def _sort_binning(x0, x1, y0, y1, depth_key, TWc, THc, cts, kc):
+    """Full-grid sort binning (see _sort_pairs); returns (cand_idx
+    [Tc, kc], cand_depth [Tc, kc])."""
+    Tc = THc * TWc
+    idx_s, depth_s, seg = _sort_pairs(x0, x1, y0, y1, depth_key, TWc, THc,
+                                      cts)
+    return _sort_windows(idx_s, depth_s, seg,
+                         jnp.arange(Tc, dtype=jnp.int32), kc)
 
 
 @functools.partial(

@@ -448,25 +448,48 @@ def rasterize_pixels_fused(
     A = 6 + C
     assert A >= 8, "kernel matmul reads candidate columns 0..7"
 
+    # select_method="sort" (round 5): ONE global (tile, depth) lexsort of
+    # the <=4N expanded pairs (ops/gs_raster._sort_pairs — the gsplat
+    # worklist layout); every tile set / capacity class then reads its
+    # depth-ordered candidates as contiguous windows. EXACT selection
+    # (112.4 dB vs exact measured on the 600k headline scene) at a cost
+    # that does NOT scale with the capacity class — a 2.4M-key lexsort is
+    # 9.5 ms on v5e, vs approx_min_k whose aggregation scales with k and
+    # dominated the drop-free kc=43008 path (BASELINE.md r5)
+    sort_state = None
+    if select_method == "sort":
+        from .gs_raster import _sort_pairs
+        sort_state = _sort_pairs(x0, x1, y0, y1, depth_key, TWc, THc, cts)
+
     def select_pack(cx0_, cy0_, kc_):
         """Coarse depth-selection + packed gather for one tile set: tiles
         given by their pixel origins [T, 1]. Returns (cand [T, kc_, A],
-        yb [T, 4, kc_] lane-major mask columns, key [T, N])."""
-        inter_ = ((x0[None, :] < cx0_ + cts) & (x1[None, :] > cx0_)
-                  & (y0[None, :] < cy0_ + cts) & (y1[None, :] > cy0_))
-        key_ = jnp.where(inter_, depth_key[None, :], _INF)
-        if select_method == "exact":
-            neg_top, idxc = jax.lax.top_k(-key_, min(kc_, n))
-            cand_depth = -neg_top
+        yb [T, 4, kc_] lane-major mask columns, counts [T] exact per-tile
+        candidate counts)."""
+        if select_method == "sort":
+            from .gs_raster import _sort_windows
+            tids = ((cy0_[:, 0] / cts).astype(jnp.int32) * TWc
+                    + (cx0_[:, 0] / cts).astype(jnp.int32))
+            idxc, cand_depth = _sort_windows(*sort_state, tids, kc_)
+            seg = sort_state[2]
+            counts_ = seg[tids + 1] - seg[tids]
         else:
-            cand_depth, idxc = jax.lax.approx_min_k(
-                key_, min(kc_, n), recall_target=recall_target,
-                aggregate_to_topk=True)
-        if cand_depth.shape[1] < kc_:   # pad to a _KB multiple
-            pad = kc_ - cand_depth.shape[1]
-            cand_depth = jnp.pad(cand_depth, ((0, 0), (0, pad)),
-                                 constant_values=_INF)
-            idxc = jnp.pad(idxc, ((0, 0), (0, pad)))
+            inter_ = ((x0[None, :] < cx0_ + cts) & (x1[None, :] > cx0_)
+                      & (y0[None, :] < cy0_ + cts) & (y1[None, :] > cy0_))
+            key_ = jnp.where(inter_, depth_key[None, :], _INF)
+            counts_ = (key_ < _INF).sum(axis=1)
+            if select_method == "exact":
+                neg_top, idxc = jax.lax.top_k(-key_, min(kc_, n))
+                cand_depth = -neg_top
+            else:
+                cand_depth, idxc = jax.lax.approx_min_k(
+                    key_, min(kc_, n), recall_target=recall_target,
+                    aggregate_to_topk=True)
+            if cand_depth.shape[1] < kc_:   # pad to a _KB multiple
+                pad = kc_ - cand_depth.shape[1]
+                cand_depth = jnp.pad(cand_depth, ((0, 0), (0, pad)),
+                                     constant_values=_INF)
+                idxc = jnp.pad(idxc, ((0, 0), (0, pad)))
         cnd = attrs[idxc]                                 # [T, kc_, 8+C]
         # shift the constant terms to coarse-tile-local pixel coordinates
         # (global 1600-px coords would cost ~3 digits of f32 in the kernel)
@@ -488,7 +511,7 @@ def rasterize_pixels_fused(
         cnd = jnp.concatenate(
             [cnd[..., 0:2], c1[..., None], cnd[..., 3:4], c2[..., None],
              cnd[..., 5:6 + C]], -1)
-        return cnd, yb_, key_
+        return cnd, yb_, counts_
 
     # coarse binning (phase 1 of ops/gs_raster.py), vectorized over tiles
     tyc, txc = jnp.meshgrid(jnp.arange(THc, dtype=jnp.float32),
@@ -496,11 +519,8 @@ def rasterize_pixels_fused(
                             indexing="ij")
     cx0 = (txc.reshape(-1) * cts)[:, None]
     cy0 = (tyc.reshape(-1) * cts)[:, None]
-    cand, yb, key = select_pack(cx0, cy0, kc)
+    cand, yb, counts_c = select_pack(cx0, cy0, kc)
     escalating = escalate_tiles > 0 or bool(escalate_classes)
-    counts_c = None
-    if with_stats or escalating:
-        counts_c = (key < _INF).sum(axis=1)               # exact per tile
     stats = None
     if with_stats:
         stats = {

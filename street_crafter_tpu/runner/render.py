@@ -121,10 +121,14 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
             if o4 - o8 > 0:
                 classes.append((bucket8(o4 - o8), 8192))
             caps = {"max_per_coarse": floor,
-                    "escalate_classes": tuple(classes)}
+                    "escalate_classes": tuple(classes),
+                    # exact selection from ONE global (tile, depth) sort:
+                    # cheaper than approx_min_k at high capacity classes
+                    # AND recall-exact (BASELINE.md r5 sweep)
+                    "select_method": "sort"}
             print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, "
                   f"{ovf}/{Tc} tiles over the {floor} floor -> "
-                  f"multi-class escalation {classes}")
+                  f"multi-class escalation {classes} (sort select)")
             return caps
         caps = {"max_per_coarse": floor, "escalate_tiles": tiles,
                 "escalate_per_coarse": kc}
@@ -136,6 +140,10 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
               + (f" / row {caps['escalate_per_row']}" if row_need else ""))
         return caps
     caps = {"max_per_coarse": kc}
+    if kc > 8192:
+        # high-capacity global upgrade: sort selection is exact and its
+        # cost does not scale with the class (approx_min_k's does)
+        caps["select_method"] = "sort"
     if row_need and default_row_capacity(kc, cap=_KF_CAP_HI) < min(rmax,
                                                                    _KF_CAP_HI):
         caps["max_per_row"] = _KF_CAP_HI

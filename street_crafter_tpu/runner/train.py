@@ -44,7 +44,8 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
                      escalate_tiles: int = 0,
                      escalate_per_coarse: int = 0,
                      escalate_per_row: int | None = None,
-                     escalate_classes: tuple = ()):
+                     escalate_classes: tuple = (),
+                     select_method: str = "approx"):
     """Eval renders at TRAINING fidelity by default (recall 0.95, f32
     compositing) so reported PSNR measures the model, not the fast path.
     The cheap inference path (used for trajectory videos and bench) is
@@ -74,6 +75,7 @@ def make_eval_render(cfg: Config, meta, sh_degree: int,
             escalate_per_coarse=escalate_per_coarse,
             escalate_per_row=escalate_per_row,
             escalate_classes=tuple(map(tuple, escalate_classes)),
+            select_method=select_method,
             interpolate_pose=True, clamp=True,
             white_background=bool(cfg.data.white_background),
             bf16_composite=fast and bool(cfg.render.get("bf16_composite",

@@ -428,3 +428,49 @@ def test_fused_multiclass_budget_priority():
     assert int(esc.stats["escalated_tiles"]) == 2
     resid = int(esc.stats["coarse_dropped_escalated"])
     assert 0 < resid < 400, resid   # only the light tile's ~122 residual
+
+
+def test_fused_sort_select_matches_exact():
+    """select_method="sort" (round 5): the global (tile, depth)-lexsort
+    worklist must reproduce the exact-select fused render at full
+    capacity — selection becomes exact (no approx_min_k recall) and its
+    cost no longer scales with the capacity class."""
+    W, H = 256, 128
+    n_dense, n_sparse = 900, 300
+    args = make_clustered_scene(W, H, n_dense, n_sparse)
+    n = n_dense + n_sparse
+    exact = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                   coarse_factor=8, max_per_coarse=2048,
+                                   max_per_row=2048, select_method="exact")
+    srt = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=2048,
+                                 max_per_row=2048, select_method="sort",
+                                 with_stats=True)
+    np.testing.assert_allclose(np.asarray(srt.colors),
+                               np.asarray(exact.colors), atol=2e-5)
+    # counts from segment offsets match the interval-test counts for
+    # splats no wider than a coarse tile (the clustered scene's case)
+    assert int(srt.stats["coarse_dropped"]) == 0
+
+
+def test_fused_sort_select_multiclass():
+    """Sort selection composes with multi-class escalation: every class
+    reads windows from the ONE global sort."""
+    W, H = 384, 128
+    args, n = make_three_tier_scene(W, H)
+    ref = rasterize_pixels(*args, width=W, height=H, tile_size=16,
+                           max_per_tile=n, coarse_factor=8, max_per_coarse=n,
+                           exact_select=True)
+    esc = rasterize_pixels_fused(*args, width=W, height=H, tile_size=16,
+                                 coarse_factor=8, max_per_coarse=128,
+                                 max_per_row=128, select_method="sort",
+                                 escalate_classes=((1, 4096), (2, 1024)),
+                                 with_stats=True)
+
+    def psnr(a, b):
+        mse = float(jnp.mean((a - b) ** 2))
+        return -10 * np.log10(mse + 1e-12)
+
+    assert psnr(esc.colors, ref.colors) > 60.0
+    assert int(esc.stats["escalated_tiles"]) == 3
+    assert int(esc.stats["coarse_dropped_escalated"]) == 0
