@@ -73,6 +73,17 @@ def main():
                     help="override num_frames (0 = config default)")
     ap.add_argument("--backend", choices=("topology", "cpu"),
                     default="topology")
+    ap.add_argument("--remat", default="flash0",
+                    help="UNet remat policy for the full-size config "
+                         "(flash0 | nothing | ...). The r5 full-size FSDP "
+                         "compile at flash0 measured 23.94 GB vs 15.75 — "
+                         "the flash-output saves that WIN single-chip "
+                         "interact badly with the FSDP all-gather "
+                         "schedule; 'nothing' (full remat) is the "
+                         "candidate fallback.")
+    ap.add_argument("--ddp", action="store_true",
+                    help="also compile the DDP layout (2nd compile, "
+                         "~40 min)")
     args = ap.parse_args()
 
     mesh = _setup_backend(args.backend)
@@ -98,7 +109,7 @@ def main():
         # full-size fine-tune configuration (engine_from_config defaults:
         # bf16 compute dtype, f32 param masters, remat flash0)
         cfg = EngineConfig(
-            unet=UNetConfig(dtype="bfloat16", remat_policy="flash0"),
+            unet=UNetConfig(dtype="bfloat16", remat_policy=args.remat),
             vae=VAEConfig(dtype="bfloat16"),
             clip=CLIPVisualConfig(dtype="bfloat16"),
             num_frames=T)
@@ -125,7 +136,7 @@ def main():
     batch_sds = {"latents": lat_sds, "cond": cond_sds,
                  "guidance_latents": lat_sds}
 
-    for fsdp in (True, False):
+    for fsdp in ((True, False) if args.ddp else (True,)):
         rules = ShardingRules(mesh, fsdp_params=fsdp)
 
         def state_spec(s):
