@@ -32,24 +32,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _setup_backend(backend: str):
-    """Returns (mesh, flash_ok). Import order matters for the CPU path."""
+def _setup_backend(backend: str, axes: dict):
+    """Returns the mesh. Import order matters for the CPU path."""
+    n = 1
+    for v in axes.values():
+        n *= v
     if backend == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         if "xla_force_host_platform_device_count" not in os.environ.get(
                 "XLA_FLAGS", ""):
             os.environ["XLA_FLAGS"] = (
                 os.environ.get("XLA_FLAGS", "")
-                + " --xla_force_host_platform_device_count=8")
+                + f" --xla_force_host_platform_device_count={n}")
         import jax
         jax.config.update("jax_platforms", "cpu")
         from street_crafter_tpu.parallel import make_virtual_cpu_mesh
-        return make_virtual_cpu_mesh(8, {"data": 8})
+        return make_virtual_cpu_mesh(n, axes)
     import jax
     from jax.experimental import topologies
     from street_crafter_tpu.parallel.mesh import MeshSpec, make_mesh
     topo = topologies.get_topology_desc("v5e:2x4", "tpu")
-    return make_mesh(MeshSpec({"data": 8}), list(topo.devices))
+    return make_mesh(MeshSpec(axes), list(topo.devices)[:n])
 
 GB = 1 / 2 ** 30
 V5E_HBM = 15.75
@@ -84,9 +87,16 @@ def main():
     ap.add_argument("--ddp", action="store_true",
                     help="also compile the DDP layout (2nd compile, "
                          "~40 min)")
+    ap.add_argument("--axes", default="data=8",
+                    help="mesh axes, e.g. data=2,frames=4 — the frames "
+                         "axis shards the T=25 temporal dimension whose "
+                         "per-clip activation temps are what blew the "
+                         "data-only FSDP compile (24 GB vs 15.75)")
     args = ap.parse_args()
 
-    mesh = _setup_backend(args.backend)
+    axes = {k: int(v) for k, v in
+            (kv.split("=") for kv in args.axes.split(","))}
+    mesh = _setup_backend(args.backend, axes)
 
     import jax
     import jax.numpy as jnp
@@ -154,8 +164,15 @@ def main():
             step=jax.ShapeDtypeStruct(
                 (), jnp.int32, sharding=NamedSharding(mesh, P())))
 
+        ndata = mesh.shape["data"]
+        nframes = mesh.shape.get("frames", 1)
+
         def batch_spec(s):
-            if s.ndim >= 1 and s.shape[0] % 8 == 0:
+            if (nframes > 1 and s.ndim >= 2 and s.shape[1] == T
+                    and s.shape[0] % ndata == 0):
+                return NamedSharding(
+                    mesh, P("data", "frames", *([None] * (s.ndim - 2))))
+            if s.ndim >= 1 and s.shape[0] % ndata == 0:
                 return NamedSharding(mesh, P("data"))
             return NamedSharding(mesh, P())
 
