@@ -204,16 +204,17 @@ def main():
 
     try:
         kc_auto = pick_coarse_capacity(stats["coarse_max"])
-        # r5: high-capacity global renders select via the global
-        # (tile, depth) sort — exact (no approx recall) and the selection
-        # cost no longer scales with the capacity class
-        dt_auto = time_render(flat, H, W, method="fused",
-                              select_method="sort", max_per_coarse=kc_auto)
+        # approx selection at k >= every tile's count is effectively
+        # recall-exact; sort selection was measured and REJECTED here
+        # (r5 decision record in BASELINE.md: 4-corner pair expansion
+        # loses wide splats' interior tiles at full-res focal lengths)
+        dt_auto = time_render(flat, H, W, method="fused", recall_target=0.85,
+                              max_per_coarse=kc_auto)
         stats_auto = scene_stats(flat, H, W, K, cam, N_HEAVY, kc=kc_auto)
         # row_max needs a probe whose coarse stage dropped nothing
         ref = exact_reference(flat, stats_auto)
         fast = render_one(flat, H, W, K, cam, method="fused",
-                          select_method="sort", max_per_coarse=kc_auto)
+                          recall_target=0.85, max_per_coarse=kc_auto)
         fast_4096 = render_one(flat, H, W, K, cam, method="fused",
                                recall_target=0.85)
         q_auto = psnr(np.clip(fast, 0, 1), np.clip(ref, 0, 1))
@@ -271,20 +272,19 @@ def main():
         if 8192 < kc_auto and o4 - o8 > 0:
             mc_classes.append((ceil8((o4 - o8) * 1.5), 8192))
         mc_classes = tuple(mc_classes)
-        # quality config (r5): SORT selection — one global (tile, depth)
-        # lexsort feeds the base pass and every escalation class with
-        # exact depth-ordered candidates. The r5 sweep measured the
-        # escalated quality floor to be approx-selection recall (44.0 dB
-        # at recall .85 / 51.0 at .95 / sort is recall-exact) and sort's
-        # cost is class-independent (9.5 ms for 2.4M keys).
-        mc_kw = dict(escalate_classes=mc_classes, select_method="sort")
+        # quality config: base recall 0.95 (training fidelity) — the r5
+        # sweep measured the escalated quality floor to be approx-
+        # selection recall (44.0 dB at .85 / 51.0 at .95 on this scene);
+        # sort selection was measured and rejected (see BASELINE.md r5
+        # decision record)
+        mc_kw = dict(escalate_classes=mc_classes, recall_target=0.95)
         dt_mc = time_render(flat, H, W, method="fused", **mc_kw)
         fast_mc = render_one(flat, H, W, K, cam, method="fused", **mc_kw)
         stats_mc = scene_stats(flat, H, W, K, cam, N_HEAVY, **mc_kw)
         q_mc = psnr(np.clip(fast_mc, 0, 1), np.clip(ref, 0, 1))
         extra["escalated_multiclass_600k"] = {
             "base_kc": 4096, "classes": [list(c) for c in mc_classes],
-            "select": "sort",
+            "recall": 0.95,
             "fps": round(1.0 / dt_mc, 2), "ref": "xla-exact-dropfree",
             "psnr_vs_exact_db": round(q_mc, 1),
             "raster_overflow": stats_mc}
@@ -295,11 +295,11 @@ def main():
         stats_1m_probe = scene_stats(flat_1m, H, W, K, cam, N_1M)
         kc_1m = pick_coarse_capacity(stats_1m_probe["coarse_max"])
         dt_1m = time_render(flat_1m, H, W, method="fused",
-                            select_method="sort", max_per_coarse=kc_1m)
+                            recall_target=0.85, max_per_coarse=kc_1m)
         stats_1m = scene_stats(flat_1m, H, W, K, cam, N_1M, kc=kc_1m)
         ref_1m = exact_reference(flat_1m, stats_1m)
         fast_1m = render_one(flat_1m, H, W, K, cam, method="fused",
-                             select_method="sort", max_per_coarse=kc_1m)
+                             recall_target=0.85, max_per_coarse=kc_1m)
         q_1m = psnr(np.clip(fast_1m, 0, 1), np.clip(ref_1m, 0, 1))
         extra["heavytail_1m"] = {
             "kc": kc_1m, "fps": round(1.0 / dt_1m, 2),

@@ -129,7 +129,7 @@ def render_flat(
             width=width, height=height, tile_size=tile_size,
             max_per_tile=max_per_tile, coarse_factor=coarse_factor,
             max_per_coarse=max_per_coarse, bf16_composite=bf16_composite,
-            exact_select=(select_method == "exact"),
+            select_method=select_method,
             recall_target=recall_target, with_stats=with_stats)
 
     rgb = out.colors[..., :3]

@@ -110,14 +110,20 @@ class RasterOutput(NamedTuple):
 def _sort_pairs(x0, x1, y0, y1, depth_key, TWc, THc, cts):
     """One global (tile, depth) lexsort of the <=4N expanded splat/tile
     pairs (the gsplat radix-sort strategy, TPU form): duplicate every
-    Gaussian to the <=4 coarse tiles its bbox corners touch (bbox clamped
-    to one tile span — measured 112.4 dB vs exact on the 600k heavy-tail
-    headline scene, BASELINE.md r5, so the wide-splat approximation is
-    negligible in practice), lexsort once (a single 2.4M-key lexsort
-    measures 9.5 ms on v5e — large SINGLE sorts are fast; only batched
-    small sorts are pathological), then every tile's nearest-k candidates
-    are one contiguous window. Returns (idx_s, depth_s, seg) with seg
-    [Tc + 1] segment offsets."""
+    Gaussian to the <=4 coarse tiles its bbox corners touch, lexsort once
+    (a single 2.4M-key lexsort measures 9.5 ms on v5e — large SINGLE
+    sorts are fast; only batched small sorts are pathological), then every
+    tile's nearest-k candidates are one contiguous window. Returns
+    (idx_s, depth_s, seg) with seg [Tc + 1] segment offsets.
+
+    LIMITATION (measured, r5 decision record in BASELINE.md): the bbox is
+    clamped to one tile span, so splats WIDER than a coarse tile miss
+    their interior tiles — on the full-res 600k heavy-tail headline scene
+    this loses ~52%% of tile/splat pairs (519k of ~1.08M) and renders at
+    18.4 dB vs exact. Valid for scenes whose splats fit a coarse tile
+    (radius <= 64 px); the exact flat-worklist design that fixes this
+    (giant-splat range expansion + segment-streaming compaction via
+    scalar-prefetched offsets) is written up in the decision record."""
     n = x0.shape[0]
     Tc = THc * TWc
     lim = cts - 1.0

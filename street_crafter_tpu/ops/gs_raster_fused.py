@@ -451,11 +451,13 @@ def rasterize_pixels_fused(
     # select_method="sort" (round 5): ONE global (tile, depth) lexsort of
     # the <=4N expanded pairs (ops/gs_raster._sort_pairs — the gsplat
     # worklist layout); every tile set / capacity class then reads its
-    # depth-ordered candidates as contiguous windows. EXACT selection
-    # (112.4 dB vs exact measured on the 600k headline scene) at a cost
-    # that does NOT scale with the capacity class — a 2.4M-key lexsort is
-    # 9.5 ms on v5e, vs approx_min_k whose aggregation scales with k and
-    # dominated the drop-free kc=43008 path (BASELINE.md r5)
+    # depth-ordered candidates as contiguous windows. MEASURED LIMITATION
+    # (BASELINE.md r5 decision record): the 4-corner-tile expansion misses
+    # wide splats' interior tiles (18.4 dB vs exact on the full-res 600k
+    # heavy-tail scene, where ~52% of pair mass comes from splats wider
+    # than a coarse tile) and the [T, kc] window gathers are slow at high
+    # kc — kept as an experimental mode for narrow-splat scenes; the
+    # production quality path uses approx selection at recall 0.95
     sort_state = None
     if select_method == "sort":
         from .gs_raster import _sort_pairs

@@ -120,15 +120,17 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
                                         + 1), 16384))
             if o4 - o8 > 0:
                 classes.append((bucket8(o4 - o8), 8192))
+            # quality selection: recall 0.95 (training fidelity). NOT
+            # sort: the r5 on-chip measurement showed the (tile, depth)
+            # lexsort worklist's 4-corner-tile expansion loses ~half the
+            # tile/splat pairs on full-res heavy-tail scenes (wide splats'
+            # interior tiles) — 18.4 dB vs exact; see BASELINE.md r5
+            # decision record
             caps = {"max_per_coarse": floor,
-                    "escalate_classes": tuple(classes),
-                    # exact selection from ONE global (tile, depth) sort:
-                    # cheaper than approx_min_k at high capacity classes
-                    # AND recall-exact (BASELINE.md r5 sweep)
-                    "select_method": "sort"}
+                    "escalate_classes": tuple(classes)}
             print(f"auto capacity: coarse_max {cmax}, row_max {rmax}, "
                   f"{ovf}/{Tc} tiles over the {floor} floor -> "
-                  f"multi-class escalation {classes} (sort select)")
+                  f"multi-class escalation {classes}")
             return caps
         caps = {"max_per_coarse": floor, "escalate_tiles": tiles,
                 "escalate_per_coarse": kc}
@@ -140,10 +142,6 @@ def probe_coarse_capacity(cfg: Config, scene: Scene, params,
               + (f" / row {caps['escalate_per_row']}" if row_need else ""))
         return caps
     caps = {"max_per_coarse": kc}
-    if kc > 8192:
-        # high-capacity global upgrade: sort selection is exact and its
-        # cost does not scale with the class (approx_min_k's does)
-        caps["select_method"] = "sort"
     if row_need and default_row_capacity(kc, cap=_KF_CAP_HI) < min(rmax,
                                                                    _KF_CAP_HI):
         caps["max_per_row"] = _KF_CAP_HI

@@ -70,9 +70,8 @@ def test_probe_minority_overflow_escalates(monkeypatch):
 
 def test_probe_majority_overflow_goes_global(monkeypatch):
     caps = _probe_with(monkeypatch, coarse_max=38351, overflow_tiles=80)
-    # escalation would re-render most of the frame -> global upgrade, with
-    # exact sort selection (r5: cheaper than approx_min_k at high classes)
-    assert caps == {"max_per_coarse": 43008, "select_method": "sort"}
+    # escalation would re-render most of the frame -> global upgrade
+    assert caps == {"max_per_coarse": 43008}
 
 
 def test_probe_row_only_overflow_escalates_rows(monkeypatch):
@@ -103,4 +102,4 @@ def test_probe_escalate_opt_out(monkeypatch):
     cfg.render.escalate = False
     caps = _probe_with(monkeypatch, coarse_max=38351, overflow_tiles=25,
                        cfg=cfg)
-    assert caps == {"max_per_coarse": 43008, "select_method": "sort"}
+    assert caps == {"max_per_coarse": 43008}
