@@ -52,7 +52,17 @@ def _setup_backend(backend: str, axes: dict):
     from jax.experimental import topologies
     from street_crafter_tpu.parallel.mesh import MeshSpec, make_mesh
     topo = topologies.get_topology_desc("v5e:2x4", "tpu")
-    return make_mesh(MeshSpec(axes), list(topo.devices)[:n])
+    try:
+        return make_mesh(MeshSpec(axes), list(topo.devices)[:n])
+    except AssertionError:
+        # non-rectangular device subsets (e.g. 5 chips for frames=5 over
+        # T=25): mesh_utils wants a physical grid; for an AOT MEMORY probe
+        # the logical mesh is what matters
+        import numpy as np
+        from jax.sharding import Mesh
+        devs = np.array(list(topo.devices)[:n]).reshape(
+            [axes[k] for k in axes])
+        return Mesh(devs, tuple(axes))
 
 GB = 1 / 2 ** 30
 V5E_HBM = 15.75
