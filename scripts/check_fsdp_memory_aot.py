@@ -84,6 +84,8 @@ def main():
                     help="clips per step (reference: bs=1/GPU x 8 GPUs)")
     ap.add_argument("--frames", type=int, default=0,
                     help="override num_frames (0 = config default)")
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--backend", choices=("topology", "cpu"),
                     default="topology")
     ap.add_argument("--remat", default="flash0",
@@ -133,7 +135,7 @@ def main():
             vae=VAEConfig(dtype="bfloat16"),
             clip=CLIPVisualConfig(dtype="bfloat16"),
             num_frames=T)
-        H, W = 576, 1024
+        H, W = args.height, args.width
     T = cfg.num_frames
     B = args.batch
     eng = VideoDiffusionEngine(cfg)
